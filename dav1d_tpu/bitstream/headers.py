@@ -14,8 +14,8 @@ from enum import IntEnum
 
 class ObuType(IntEnum):
     SEQ_HDR = 1
-    FRAME_HDR = 2
-    TD = 3
+    TD = 2
+    FRAME_HDR = 3
     TILE_GRP = 4
     METADATA = 5
     FRAME = 6

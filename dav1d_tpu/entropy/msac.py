@@ -293,23 +293,15 @@ class MsacEncoder:
         nbits = self.shift + 15
         lo = self.low
         hi = self.low + self.rng  # exclusive
-        # choose value: smallest number of significant bits
-        # find largest k with ceil(lo / 2^k) * 2^k < hi
-        k = 0
-        val = lo
-        while k < nbits:
-            k2 = k + 1
-            step = 1 << k2
-            cand = (lo + step - 1) & ~(step - 1)
-            if cand < hi:
-                k = k2
-                val = cand
-            else:
-                break
-        # serialize top (nbits - k) bits, then pad with zero bits to byte
-        sig_bits = nbits - k
-        nbytes = (sig_bits + 7) // 8
+        # AV1 termination marker: round low up to a multiple of 2^14 and
+        # set bit 14, yielding a trailing "1 then zeros" pattern the
+        # spec's trailing-bits check requires (daala od_ec_enc_done; the
+        # reference validates it in decode.c
+        # check_trailing_bits_after_symbol_coder:2576-2592). In-interval
+        # because rng >= 0x8000 > 0x4000 + 0x3fff.
+        val = ((lo + 0x3FFF) & ~0x3FFF) | 0x4000
+        assert lo <= val < hi
+        nbytes = (nbits + 7) // 8
         total_bits = nbytes * 8
-        out = (val >> (nbits - total_bits)) if nbits >= total_bits \
-            else (val << (total_bits - nbits))
+        out = val << (total_bits - nbits)
         return out.to_bytes(nbytes, "big") if nbytes else b"\x00"

@@ -1,0 +1,361 @@
+"""Synthesize AV1 intra test streams.
+
+Headers are written with PutBits in exactly the field order the parser
+(and the reference obu.c) reads. Tile payloads are produced by running
+dav1d_tpu's TileParser with a GenCoder: every decode_* call samples a
+value from the current CDF distribution (mixed with uniform exploration)
+and encodes it through MsacEncoder — so the decoder's own syntax walk IS
+the encoder, and any stream produced here is decodable by construction.
+"""
+from __future__ import annotations
+
+import io
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+from dav1d_tpu.bitstream import ivf
+from dav1d_tpu.bitstream.getbits import GetBits, inv_recenter
+from dav1d_tpu.bitstream import obu as obu_mod
+from dav1d_tpu.bitstream.headers import ObuType
+from dav1d_tpu.entropy.cdf import CdfContext
+from dav1d_tpu.entropy.decode import FrameContext, FramePlan, TileParser
+from dav1d_tpu.entropy.msac import MsacEncoder, EC_PROB_SHIFT, EC_MIN_PROB
+
+from .putbits import PutBits, wrap_obu
+
+
+class GenCoder:
+    """Duck-types MsacDecoder for TileParser, but *chooses* each symbol
+    (sampled from the live CDF, mixed with uniform exploration) and
+    encodes it via MsacEncoder."""
+
+    def __init__(self, seed: int, uniform_mix: float = 0.5,
+                 disable_cdf_update: bool = False,
+                 force: dict | None = None):
+        self.rng = np.random.default_rng(seed)
+        self.enc = MsacEncoder(allow_update_cdf=not disable_cdf_update)
+        self.mix = uniform_mix
+        self.cnt = 0                      # overread check stub
+        self.allow_update_cdf = not disable_cdf_update
+        # optional forced outcomes: maps id(root cdf array) -> value
+        self.force = force or {}
+
+    # -- helpers --------------------------------------------------------
+    def _pick_symbol(self, cdf, n_symbols: int) -> int:
+        root = cdf.base if cdf.base is not None else cdf
+        if id(root) in self.force:
+            return min(self.force[id(root)], n_symbols)
+        if self.rng.random() < self.mix:
+            return int(self.rng.integers(0, n_symbols + 1))
+        # sample from the actual distribution: cdf[i] = Q15 inverse cdf
+        probs = np.empty(n_symbols + 1, np.float64)
+        prev = 32768
+        for i in range(n_symbols):
+            cur = int(cdf[i])
+            probs[i] = max(prev - cur, 1)
+            prev = cur
+        probs[n_symbols] = max(prev, 1)
+        probs /= probs.sum()
+        return int(self.rng.choice(n_symbols + 1, p=probs))
+
+    def _pick_bool(self, f: int) -> int:
+        if self.rng.random() < self.mix:
+            return int(self.rng.integers(0, 2))
+        return int(self.rng.random() < f / 32768.0)
+
+    # -- MsacDecoder interface ------------------------------------------
+    def decode_symbol_adapt(self, cdf, n_symbols: int) -> int:
+        val = self._pick_symbol(cdf, n_symbols)
+        self.enc.encode_symbol(cdf, val, n_symbols)
+        return val
+
+    def decode_bool_adapt(self, cdf) -> int:
+        root = cdf.base if cdf.base is not None else cdf
+        if id(root) in self.force:
+            bit = self.force[id(root)]
+        else:
+            bit = self._pick_bool(int(cdf[0]))
+        self.enc.encode_bool_adapt(bit, cdf)
+        return bit
+
+    def decode_bool(self, f: int) -> int:
+        bit = self._pick_bool(f)
+        self.enc.encode_bool(bit, f)
+        return bit
+
+    def decode_bool_equi(self) -> int:
+        bit = int(self.rng.integers(0, 2))
+        self.enc.encode_bool_equi(bit)
+        return bit
+
+    def decode_bools(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.decode_bool_equi()
+        return v
+
+    def decode_uniform(self, n: int) -> int:
+        assert n > 0
+        l = n.bit_length()
+        m = (1 << l) - n
+        val = int(self.rng.integers(0, n))
+        self.enc.encode_uniform(val, n)
+        return val
+
+    def decode_hi_tok(self, cdf) -> int:
+        # mirror MsacDecoder.decode_hi_tok's chunking
+        tok_br = self.decode_symbol_adapt(cdf, 3)
+        tok = 3 + tok_br
+        if tok_br == 3:
+            tok_br = self.decode_symbol_adapt(cdf, 3)
+            tok = 6 + tok_br
+            if tok_br == 3:
+                tok_br = self.decode_symbol_adapt(cdf, 3)
+                tok = 9 + tok_br
+                if tok_br == 3:
+                    tok = 12 + self.decode_symbol_adapt(cdf, 3)
+        return tok
+
+
+# ---------------------------------------------------------------------------
+# header writers
+# ---------------------------------------------------------------------------
+
+def write_seq_hdr(width: int, height: int, *, sb128=0, filter_intra=1,
+                  intra_edge_filter=1, cdef=0, restoration=0, hbd=0,
+                  order_hint=0, screen_content=0, monochrome=0,
+                  layout420=True) -> bytes:
+    """Profile-0 (8/10-bit 4:2:0) sequence header matching parse_seq_hdr
+    field order (reference obu.c:72-300)."""
+    pb = PutBits()
+    pb.put_bits(0, 3)        # profile 0
+    pb.put_bit(0)            # still_picture
+    pb.put_bit(0)            # reduced_still_picture_header
+    pb.put_bit(0)            # timing_info_present
+    pb.put_bit(0)            # display_model_info_present
+    pb.put_bits(0, 5)        # num_operating_points - 1
+    pb.put_bits(0, 12)       # op[0].idc
+    pb.put_bits(0, 3)        # major_level - 2 (level 2.0)
+    pb.put_bits(0, 2)        # minor_level
+    # no tier (major_level <= 3), no decoder/display model params
+    pb.put_bits(15, 4)       # width_n_bits - 1 = 16 bits
+    pb.put_bits(15, 4)       # height_n_bits - 1
+    pb.put_bits(width - 1, 16)
+    pb.put_bits(height - 1, 16)
+    pb.put_bit(0)            # frame_id_numbers_present
+    pb.put_bit(sb128)
+    pb.put_bit(filter_intra)
+    pb.put_bit(intra_edge_filter)
+    pb.put_bit(0)            # inter_intra
+    pb.put_bit(0)            # masked_compound
+    pb.put_bit(0)            # warped_motion
+    pb.put_bit(0)            # dual_filter
+    pb.put_bit(order_hint)   # order_hint
+    if order_hint:
+        pb.put_bit(0)        # jnt_comp
+        pb.put_bit(0)        # ref_frame_mvs
+    # screen_content_tools: 0 => write (0,0); 2 (adaptive) => (1)
+    if screen_content == 2:
+        pb.put_bit(1)
+    else:
+        pb.put_bit(0)
+        pb.put_bit(screen_content)
+    if screen_content:
+        # force_integer_mv: adaptive => 1; else (0, value)
+        pb.put_bit(1)
+    if order_hint:
+        pb.put_bits(6, 3)    # order_hint_n_bits - 1 = 7
+    pb.put_bit(0)            # super_res
+    pb.put_bit(cdef)
+    pb.put_bit(restoration)
+    pb.put_bit(1 if hbd else 0)   # hbd (profile 0: 0=8, 1=10)
+    pb.put_bit(monochrome)        # monochrome (profile 0 reads this)
+    pb.put_bit(0)            # color_description_present
+    if not monochrome or True:
+        pass
+    if monochrome:
+        pb.put_bit(0)        # color_range
+    else:
+        pb.put_bit(0)        # color_range (studio)
+        pb.put_bits(0, 2)    # chroma sample position (420)
+        pb.put_bit(0)        # separate_uv_delta_q
+    pb.put_bit(0)            # film_grain_present
+    pb.trailing_bits()
+    return wrap_obu(ObuType.SEQ_HDR, pb.data())
+
+
+def write_key_frame_hdr(seq, *, qidx=100, disable_cdf_update=0,
+                        txfm_switchable=1, reduced_txtp=0, qm=0,
+                        lf_levels=(0, 0, 0, 0), lf_sharpness=0,
+                        cdef_params=None, write_render_size=0,
+                        tile_log2_cols=0, tile_log2_rows=0,
+                        delta_q=0, delta_lf=0) -> PutBits:
+    """Key-frame header payload (no OBU wrap), matching parse_frame_hdr.
+    cdef_params: (damping-3, n_bits, [y...], [uv...]) or None."""
+    pb = PutBits()
+    pb.put_bit(0)            # show_existing_frame
+    pb.put_bits(0, 2)        # frame_type = KEY
+    pb.put_bit(1)            # show_frame
+    # error_resilient: implied (KEY && show), no bit
+    pb.put_bit(disable_cdf_update)
+    # allow_screen_content_tools: seq OFF -> no bit
+    pb.put_bit(0)            # frame_size_override
+    if seq.order_hint:
+        pb.put_bits(0, seq.order_hint_n_bits)  # frame_offset
+    # primary_ref: KEY -> none; refresh flags: KEY+show -> 0xff, no bits
+    # frame size: override=0 -> from seq; super_res: seq off -> no bit
+    pb.put_bit(write_render_size)  # have_render_size
+    # no intrabc (sct off)
+    if not disable_cdf_update:
+        pb.put_bit(0)        # 1 - refresh_context => refresh on
+    # tiling: uniform
+    pb.put_bit(1)
+    sbsz_log2 = 6 + seq.sb128
+    sbw = (seq.max_width + (1 << sbsz_log2) - 1) >> sbsz_log2
+    sbh = (seq.max_height + (1 << sbsz_log2) - 1) >> sbsz_log2
+    from dav1d_tpu.bitstream.obu import tile_log2
+    max_tw_sb = 4096 >> sbsz_log2
+    min_log2_cols = tile_log2(max_tw_sb, sbw)
+    max_log2_cols = tile_log2(1, min(sbw, 64))
+    max_log2_rows = tile_log2(1, min(sbh, 64))
+    min_log2_tiles = max(tile_log2((4096 * 2304) >> (2 * sbsz_log2), sbw * sbh),
+                         min_log2_cols)
+    assert tile_log2_cols >= min_log2_cols
+    for _ in range(tile_log2_cols - min_log2_cols):
+        pb.put_bit(1)
+    if tile_log2_cols < max_log2_cols:
+        pb.put_bit(0)
+    min_log2_rows = max(min_log2_tiles - tile_log2_cols, 0)
+    assert tile_log2_rows >= min_log2_rows
+    for _ in range(tile_log2_rows - min_log2_rows):
+        pb.put_bit(1)
+    if tile_log2_rows < max_log2_rows:
+        pb.put_bit(0)
+    if tile_log2_cols or tile_log2_rows:
+        pb.put_bits(0, tile_log2_cols + tile_log2_rows)  # update tile id
+        pb.put_bits(3, 2)    # tile size n_bytes - 1 = 4 bytes
+    # quant
+    pb.put_bits(qidx, 8)
+    pb.put_bit(0)            # ydc_delta present
+    # not monochrome: no diff_uv (separate off), udc, uac
+    pb.put_bit(0)
+    pb.put_bit(0)
+    pb.put_bit(qm)
+    if qm:
+        pb.put_bits(8, 4)    # qm_y
+        pb.put_bits(8, 4)    # qm_u  (qm_v = qm_u, separate off)
+    pb.put_bit(0)            # segmentation enabled
+    all_lossless = qidx == 0  # (no seg, no dc/ac deltas in this writer)
+    if qidx:
+        pb.put_bit(delta_q)  # delta_q present
+        if delta_q:
+            pb.put_bits(0, 2)    # res_log2
+            pb.put_bit(delta_lf)
+            if delta_lf:
+                pb.put_bits(0, 2)
+                pb.put_bit(1)    # multi
+    if not all_lossless:
+        # loopfilter (skipped entirely when all_lossless/intrabc)
+        pb.put_bits(lf_levels[0], 6)
+        pb.put_bits(lf_levels[1], 6)
+        if lf_levels[0] or lf_levels[1]:
+            pb.put_bits(lf_levels[2], 6)
+            pb.put_bits(lf_levels[3], 6)
+        pb.put_bits(lf_sharpness, 3)
+        pb.put_bit(0)        # mode_ref_delta_enabled
+    # cdef (only when not lossless)
+    if seq.cdef and not all_lossless:
+        damping, n_bits, ys, uvs = cdef_params or (0, 0, [0], [0])
+        pb.put_bits(damping, 2)
+        pb.put_bits(n_bits, 2)
+        for i in range(1 << n_bits):
+            pb.put_bits(ys[i], 6)
+            pb.put_bits(uvs[i], 6)
+    # restoration: seq off
+    if seq.restoration and not all_lossless:
+        raise NotImplementedError
+    if not all_lossless:
+        pb.put_bit(txfm_switchable)   # txfm mode
+    # KEY: no comp refs / skip mode / warp / gmv
+    pb.put_bit(reduced_txtp)
+    # film grain: seq off
+    return pb
+
+
+def generate_intra_stream(width, height, *, qidx=100, seed=0, sb128=0,
+                          n_frames=1, uniform_mix=0.5, filter_intra=1,
+                          qm=0, txfm_switchable=1, reduced_txtp=0,
+                          disable_cdf_update=0, tile_log2_cols=0,
+                          tile_log2_rows=0, delta_q=0, delta_lf=0,
+                          hbd=0, force_skip=None):
+    """Returns (ivf_bytes, list[(seq_hdr, frame_hdr, FramePlan)])."""
+    seq_obu = write_seq_hdr(width, height, sb128=sb128,
+                            filter_intra=filter_intra, hbd=hbd)
+    # parse back our own header for a single source of truth
+    seq = obu_mod.parse_sequence_header_standalone(seq_obu)
+
+    out = io.BytesIO()
+    w = ivf.IvfWriter(out, width, height)
+    results = []
+    for fi in range(n_frames):
+        fh_pb = write_key_frame_hdr(
+            seq, qidx=qidx, disable_cdf_update=disable_cdf_update,
+            txfm_switchable=txfm_switchable, reduced_txtp=reduced_txtp,
+            qm=qm, tile_log2_cols=tile_log2_cols,
+            tile_log2_rows=tile_log2_rows, delta_q=delta_q,
+            delta_lf=delta_lf)
+        fh_pb.trailing_bits()
+        fh_obu_payload = fh_pb.data()
+
+        # parse the frame header back with our parser
+        st = obu_mod.ParserState(seq_hdr=seq)
+        from dav1d_tpu.bitstream.headers import FrameHeader
+        st.frame_hdr = FrameHeader()
+        gb = GetBits(fh_obu_payload)
+        obu_mod.parse_frame_hdr(st, gb)
+        fh = st.frame_hdr
+
+        # generate tile payloads
+        f = FrameContext(seq, fh)
+        plan = FramePlan(f)
+        in_cdf = CdfContext.default(fh.quant.yac)
+        tile_payloads = []
+        n_cols, n_rows = fh.tiling.cols, fh.tiling.rows
+        for tr in range(n_rows):
+            for tc in range(n_cols):
+                cdf = in_cdf.copy()
+                coder = GenCoder(seed * 1000 + fi * 100 + tr * 10 + tc,
+                                 uniform_mix=uniform_mix,
+                                 disable_cdf_update=disable_cdf_update)
+                if force_skip is not None:
+                    coder.force[id(cdf.m.skip)] = force_skip
+                tp = TileParser(f, plan, b"", tr, tc, cdf)
+                tp.msac = coder
+                tp.parse_tile()
+                tile_payloads.append(coder.enc.finalize())
+
+        # assemble tile group OBU: no tile_start_and_end (full group);
+        # per-tile sizes (n_bytes=4) except last
+        tg = PutBits()
+        n_tiles = n_cols * n_rows
+        if n_tiles > 1:
+            tg.put_bit(0)    # tile_start_and_end_present
+        tg.bytealign()
+        body = tg.data()
+        for i, pay in enumerate(tile_payloads):
+            if i < n_tiles - 1:
+                # tile_size_minus_1, little-endian n_bytes (reference
+                # decode.c:3158-3166)
+                body += (len(pay) - 1).to_bytes(4, "little") + pay
+            else:
+                body += pay
+        frame_data = (seq_obu if fi == 0 else b"") + \
+            wrap_obu(ObuType.FRAME_HDR, fh_obu_payload) + \
+            wrap_obu(ObuType.TILE_GRP, body)
+        w.write_frame(frame_data)
+        results.append((seq, fh, plan))
+    w.finalize()
+    return out.getvalue(), results
