@@ -45,6 +45,7 @@ int main(int argc, char **argv) {
 
     dav1d_init_qm_tables();
     dav1d_init_ii_wedge_masks();
+    dav1d_init_last_nonzero_col_from_eob_tables();
 
     /* default CDF tables, one entry per field (compiler-derived layout) */
 #define DF(field) dump("cdf." #field, &default_cdf.field, sizeof(default_cdf.field))
