@@ -69,6 +69,11 @@ class Block:
     uvtx: int = 0
     edge_flags: int = 0
     has_chroma: bool = True
+    # smooth-neighbor prediction flags captured at parse time from the
+    # live a/l contexts (reference ipred_prepare.h sm_flag/sm_uv_flag,
+    # read by recon_b_intra before the block's own ctx update)
+    sm_fl: int = 0
+    sm_uv_fl: int = 0
     # inter fields (filled by the inter path)
     ref: tuple = (-1, -1)
     mv: tuple = ((0, 0), (0, 0))
@@ -582,6 +587,19 @@ class TileParser:
         fh = f.frame_hdr
         msac = self.msac
         cdf = self.cdf
+
+        # capture smooth-neighbor flags for recon (pre-ctx-update state)
+        SM = (lv.SMOOTH_PRED, lv.SMOOTH_V_PRED, lv.SMOOTH_H_PRED)
+
+        def _sm(edge_ctx, off):
+            return (512 if (edge_ctx.intra[off] and
+                            edge_ctx.mode[off] in SM) else 0)
+
+        def _sm_uv(edge_ctx, off):
+            return 512 if edge_ctx.uvmode[off] in SM else 0
+
+        b.sm_fl = _sm(self.a, bx4) | _sm(self.l, by4)
+        b.sm_uv_fl = _sm_uv(self.a, cbx4) | _sm_uv(self.l, cby4)
 
         if not f.key_or_intra:
             ymode_cdf = cdf.m.y_mode[lv.ymode_size_context[bs]]

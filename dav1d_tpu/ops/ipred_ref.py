@@ -1,0 +1,622 @@
+"""Intra prediction — scalar-exact reference implementation.
+
+All AV1 intra predictors with the reference's exact integer semantics
+(reference src/ipred_tmpl.c:58-782): DC family, V/H, paeth, smooth
+family, directional Z1/Z2/Z3 with edge filter/upsampling, filter-intra,
+CFL (ac extraction + prediction), palette. Plus the edge constructor
+dav1d_prepare_intra_edges (reference src/ipred_prepare_tmpl.c:36-203).
+
+Works on numpy int32/uint16 planes; the edge buffer convention matches
+the reference: topleft_out index 0 = top-left pixel, [1..] top row,
+[-1..] left column (we realize it as a center-anchored array).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .. import tables
+from ..entropy import levels as lv
+from ..entropy.intra_edge import (EDGE_I444_TOP_HAS_RIGHT,
+                                  EDGE_I444_LEFT_HAS_BOTTOM)
+
+ANGLE_USE_EDGE_FILTER_FLAG = 1024
+ANGLE_SMOOTH_EDGE_FLAG = 512
+
+# DSP-level mode indices beyond the coded ones
+DC_PRED, VERT_PRED, HOR_PRED = 0, 1, 2
+LEFT_DC_PRED, TOP_DC_PRED, DC_128_PRED, Z1_PRED, Z2_PRED, Z3_PRED = range(3, 9)
+SMOOTH_PRED, SMOOTH_V_PRED, SMOOTH_H_PRED, PAETH_PRED = 9, 10, 11, 12
+FILTER_PRED = 13
+
+_MODE_TO_ANGLE = [90, 180, 45, 135, 113, 157, 203, 67]
+
+_EDGE_REQ = {
+    # mode: (left, top, topleft, topright, bottomleft)
+    DC_PRED: (1, 1, 0, 0, 0),
+    VERT_PRED: (0, 1, 0, 0, 0),
+    HOR_PRED: (1, 0, 0, 0, 0),
+    LEFT_DC_PRED: (1, 0, 0, 0, 0),
+    TOP_DC_PRED: (0, 1, 0, 0, 0),
+    DC_128_PRED: (0, 0, 0, 0, 0),
+    Z1_PRED: (0, 1, 1, 1, 0),
+    Z2_PRED: (1, 1, 1, 0, 0),
+    Z3_PRED: (1, 0, 1, 0, 1),
+    SMOOTH_PRED: (1, 1, 0, 0, 0),
+    SMOOTH_V_PRED: (1, 1, 0, 0, 0),
+    SMOOTH_H_PRED: (1, 1, 0, 0, 0),
+    PAETH_PRED: (1, 1, 1, 0, 0),
+    FILTER_PRED: (1, 1, 1, 0, 0),
+}
+
+
+class Edge:
+    """Center-anchored edge buffer: buf[center + i] == topleft_out[i]."""
+
+    __slots__ = ("buf", "center")
+
+    def __init__(self, size=257):
+        self.buf = np.zeros(2 * 160 + 1, np.int32)
+        self.center = 160
+
+    def __getitem__(self, i):
+        return self.buf[self.center + i]
+
+    def __setitem__(self, i, v):
+        self.buf[self.center + i] = v
+
+    def rng(self, lo, n):
+        """View of topleft_out[lo .. lo+n-1]."""
+        return self.buf[self.center + lo: self.center + lo + n]
+
+
+def prepare_intra_edges(x, have_left, y, have_top, w, h, edge_flags,
+                        dst_plane, px, py, top_sb_edge_row, mode, angle,
+                        tw, th, filter_edge, edge: Edge, bitdepth):
+    """reference ipred_prepare_tmpl.c:74-203. Coordinates:
+    x/y block position (4px units, absolute); w/h tile end (4px units);
+    px/py pixel position of the block in dst_plane; top_sb_edge_row is
+    the saved pre-filter row (np 1-D across the plane) or None.
+    Returns (dsp_mode, angle_out)."""
+    if VERT_PRED <= mode <= lv.VERT_LEFT_PRED:
+        angle = _MODE_TO_ANGLE[mode - VERT_PRED] + 3 * angle
+        if angle <= 90:
+            mode = Z1_PRED if angle < 90 and have_top else VERT_PRED
+        elif angle < 180:
+            mode = Z2_PRED
+        else:
+            mode = Z3_PRED if angle > 180 and have_left else HOR_PRED
+    elif mode == DC_PRED:
+        mode = (DC_PRED if have_top else LEFT_DC_PRED) if have_left else \
+            (TOP_DC_PRED if have_top else DC_128_PRED)
+    elif mode == PAETH_PRED:
+        mode = (PAETH_PRED if have_top else HOR_PRED) if have_left else \
+            (VERT_PRED if have_top else DC_128_PRED)
+
+    needs_left, needs_top, needs_topleft, needs_topright, needs_bottomleft = \
+        _EDGE_REQ[mode]
+
+    def dst_top(i):
+        if top_sb_edge_row is not None:
+            return int(top_sb_edge_row[x * 4 + i])
+        return int(dst_plane[py - 1, px + i])
+
+    have_dst_top = have_top and (needs_top or needs_topleft or
+                                 (needs_left and not have_left))
+
+    if needs_left:
+        sz = th << 2
+        if have_left:
+            px_have = min(sz, (h - y) << 2)
+            for i in range(px_have):
+                edge[-1 - i] = int(dst_plane[py + i, px - 1])
+            if px_have < sz:
+                edge.rng(-sz, sz - px_have)[:] = edge[-px_have]
+        else:
+            fill = dst_top(0) if have_dst_top else ((1 << bitdepth) >> 1) + 1
+            edge.rng(-sz, sz)[:] = fill
+        if needs_bottomleft:
+            have_bl = 0 if (not have_left or y + th >= h) else \
+                (edge_flags & EDGE_I444_LEFT_HAS_BOTTOM)
+            if have_bl:
+                px_have = min(sz, (h - y - th) << 2)
+                for i in range(px_have):
+                    edge[-sz - 1 - i] = int(dst_plane[py + sz + i, px - 1])
+                if px_have < sz:
+                    edge.rng(-2 * sz, sz - px_have)[:] = edge[-sz - px_have]
+            else:
+                edge.rng(-2 * sz, sz)[:] = edge[-sz]
+
+    if needs_top:
+        sz = tw << 2
+        if have_top:
+            px_have = min(sz, (w - x) << 2)
+            for i in range(px_have):
+                edge[1 + i] = dst_top(i)
+            if px_have < sz:
+                edge.rng(1 + px_have, sz - px_have)[:] = edge[px_have]
+        else:
+            fill = int(dst_plane[py, px - 1]) if have_left \
+                else ((1 << bitdepth) >> 1) - 1
+            edge.rng(1, sz)[:] = fill
+        if needs_topright:
+            have_tr = 0 if (not have_top or x + tw >= w) else \
+                (edge_flags & EDGE_I444_TOP_HAS_RIGHT)
+            if have_tr:
+                px_have = min(sz, (w - x - tw) << 2)
+                for i in range(px_have):
+                    edge[1 + sz + i] = dst_top(sz + i)
+                if px_have < sz:
+                    edge.rng(1 + sz + px_have, sz - px_have)[:] = \
+                        edge[sz + px_have]
+            else:
+                edge.rng(1 + sz, sz)[:] = edge[sz]
+
+    if needs_topleft:
+        if have_left:
+            edge[0] = dst_top(-1) if have_top else int(dst_plane[py, px - 1])
+        else:
+            edge[0] = dst_top(0) if have_top else (1 << bitdepth) >> 1
+        if mode == Z2_PRED and tw + th >= 6 and filter_edge:
+            edge[0] = ((int(edge[-1]) + int(edge[1])) * 5 +
+                       int(edge[0]) * 6 + 8) >> 4
+
+    return mode, angle
+
+
+# ---------------------------------------------------------------------------
+# predictors: fn(edge, width, height, angle, bitdepth) -> (h, w) int32
+# ---------------------------------------------------------------------------
+
+def _splat(v, w, h):
+    return np.full((h, w), v, np.int32)
+
+
+def _dc_gen_top(e: Edge, w):
+    return (int(e.rng(1, w).sum()) + (w >> 1)) >> w.bit_length() - 1
+
+
+def _dc_gen_left(e: Edge, h):
+    return (int(e.rng(-h, h).sum()) + (h >> 1)) >> h.bit_length() - 1
+
+
+def _dc_gen(e: Edge, w, h, bitdepth):
+    dc = (w + h) >> 1
+    dc += int(e.rng(1, w).sum()) + int(e.rng(-h, h).sum())
+    dc >>= ((w + h) & -(w + h)).bit_length() - 1   # ctz(w + h)
+    if w != h:
+        if bitdepth == 8:
+            mult = 0x3334 if (w > h * 2 or h > w * 2) else 0x5556
+            dc = (dc * mult) >> 16
+        else:
+            mult = 0x6667 if (w > h * 2 or h > w * 2) else 0xAAAB
+            dc = (dc * mult) >> 17
+    return dc
+
+
+def ipred_dc(e, w, h, angle, bd):
+    return _splat(_dc_gen(e, w, h, bd), w, h)
+
+
+def ipred_dc_128(e, w, h, angle, bd):
+    return _splat((1 << bd) >> 1, w, h)
+
+
+def ipred_dc_top(e, w, h, angle, bd):
+    return _splat(_dc_gen_top(e, w), w, h)
+
+
+def ipred_dc_left(e, w, h, angle, bd):
+    return _splat(_dc_gen_left(e, h), w, h)
+
+
+def ipred_v(e, w, h, angle, bd):
+    return np.tile(e.rng(1, w).astype(np.int32), (h, 1))
+
+
+def ipred_h(e, w, h, angle, bd):
+    left = e.rng(-h, h)[::-1].astype(np.int32)   # top-most first
+    return np.tile(left[:, None], (1, w))
+
+
+def ipred_paeth(e, w, h, angle, bd):
+    topleft = int(e[0])
+    top = e.rng(1, w).astype(np.int32)[None, :]
+    left = e.rng(-h, h)[::-1].astype(np.int32)[:, None]
+    base = left + top - topleft
+    ldiff = np.abs(left - base)
+    tdiff = np.abs(top - base)
+    tldiff = np.abs(topleft - base)
+    out = np.where((ldiff <= tdiff) & (ldiff <= tldiff),
+                   np.broadcast_to(left, (h, w)),
+                   np.where(tdiff <= tldiff,
+                            np.broadcast_to(top, (h, w)), topleft))
+    return out.astype(np.int32)
+
+
+def _sm_weights(n):
+    return tables.get("dav1d_sm_weights")[n:n + n].astype(np.int32)
+
+
+def ipred_smooth(e, w, h, angle, bd):
+    wh = _sm_weights(w)[None, :]
+    wv = _sm_weights(h)[:, None]
+    right = int(e[w])
+    bottom = int(e[-h])
+    top = e.rng(1, w).astype(np.int32)[None, :]
+    left = e.rng(-h, h)[::-1].astype(np.int32)[:, None]
+    pred = wv * top + (256 - wv) * bottom + wh * left + (256 - wh) * right
+    return (pred + 256) >> 9
+
+
+def ipred_smooth_v(e, w, h, angle, bd):
+    wv = _sm_weights(h)[:, None]
+    bottom = int(e[-h])
+    top = e.rng(1, w).astype(np.int32)[None, :]
+    pred = wv * top + (256 - wv) * bottom
+    return (pred + 128) >> 8
+
+
+def ipred_smooth_h(e, w, h, angle, bd):
+    wh = _sm_weights(w)[None, :]
+    right = int(e[w])
+    left = e.rng(-h, h)[::-1].astype(np.int32)[:, None]
+    pred = wh * left + (256 - wh) * right
+    return (pred + 128) >> 8
+
+
+def _get_filter_strength(wh, angle, is_sm):
+    """reference ipred_tmpl.c:330-361."""
+    if is_sm:
+        if wh <= 8:
+            if angle >= 64:
+                return 2
+            if angle >= 40:
+                return 1
+        elif wh <= 16:
+            if angle >= 48:
+                return 2
+            if angle >= 20:
+                return 1
+        elif wh <= 24:
+            if angle >= 4:
+                return 3
+        else:
+            return 3
+    else:
+        if wh <= 8:
+            if angle >= 56:
+                return 1
+        elif wh <= 16:
+            if angle >= 40:
+                return 1
+        elif wh <= 24:
+            if angle >= 32:
+                return 3
+            if angle >= 16:
+                return 2
+            if angle >= 8:
+                return 1
+        elif wh <= 32:
+            if angle >= 32:
+                return 3
+            if angle >= 4:
+                return 2
+            return 1
+        else:
+            return 3
+    return 0
+
+
+_EDGE_KERNELS = np.array([[0, 4, 8, 4, 0], [0, 5, 6, 5, 0], [2, 4, 4, 4, 2]],
+                         np.int32)
+
+
+def _filter_edge(sz, lim_from, lim_to, src, src_from, src_to, strength):
+    """reference ipred_tmpl.c:363-386. src: callable i -> value with
+    clipping indices [src_from, src_to)."""
+    out = np.zeros(sz, np.int32)
+    kern = _EDGE_KERNELS[strength - 1]
+    for i in range(sz):
+        if i < min(sz, lim_from) or i >= min(lim_to, sz):
+            out[i] = src(np.clip(i, src_from, src_to - 1))
+        else:
+            s = 0
+            for j in range(5):
+                s += src(int(np.clip(i - 2 + j, src_from, src_to - 1))) * \
+                    int(kern[j])
+            out[i] = (s + 8) >> 4
+    return out
+
+
+def _get_upsample(wh, angle, is_sm):
+    return angle < 40 and wh <= (16 >> is_sm)
+
+
+def _upsample_edge(hsz, src, src_from, src_to, bd):
+    """reference ipred_tmpl.c:392-407; returns 2*hsz-1 values."""
+    out = np.zeros(hsz * 2, np.int32)
+    bd_max = (1 << bd) - 1
+    for i in range(hsz - 1):
+        out[i * 2] = src(int(np.clip(i, src_from, src_to - 1)))
+        s = 0
+        for j, k in enumerate((-1, 9, 9, -1)):
+            s += src(int(np.clip(i + j - 1, src_from, src_to - 1))) * k
+        out[i * 2 + 1] = np.clip((s + 8) >> 4, 0, bd_max)
+    out[(hsz - 1) * 2] = src(int(np.clip(hsz - 1, src_from, src_to - 1)))
+    return out
+
+
+def ipred_z1(e, w, h, angle, bd):
+    is_sm = (angle >> 9) & 1
+    enable_ief = angle >> 10
+    angle &= 511
+    dx = int(tables.get("dav1d_dr_intra_derivative")[angle >> 1])
+    upsample_above = _get_upsample(w + h, 90 - angle, is_sm) if enable_ief else 0
+
+    def src(i):
+        return int(e[1 + i])
+
+    if upsample_above:
+        top = _upsample_edge(w + h, src, -1, w + min(w, h), bd)
+        max_base_x = 2 * (w + h) - 2
+        dx <<= 1
+    else:
+        strength = _get_filter_strength(w + h, 90 - angle, is_sm) \
+            if enable_ief else 0
+        if strength:
+            top = _filter_edge(w + h, 0, w + h, src, -1, w + min(w, h),
+                               strength)
+            max_base_x = w + h - 1
+        else:
+            top = np.array([src(i) for i in range(w + min(w, h))], np.int32)
+            max_base_x = w + min(w, h) - 1
+    base_inc = 1 + upsample_above
+    out = np.zeros((h, w), np.int32)
+    xpos = dx
+    for y in range(h):
+        frac = xpos & 0x3E
+        base = xpos >> 6
+        for x in range(w):
+            if base < max_base_x:
+                v = int(top[base]) * (64 - frac) + int(top[base + 1]) * frac
+                out[y, x] = (v + 32) >> 6
+            else:
+                out[y, x:] = top[max_base_x]
+                break
+            base += base_inc
+        xpos += dx
+    return out
+
+
+def ipred_z2(e, w, h, angle, bd, max_width, max_height):
+    is_sm = (angle >> 9) & 1
+    enable_ief = angle >> 10
+    angle &= 511
+    deriv = tables.get("dav1d_dr_intra_derivative")
+    dy = int(deriv[(angle - 90) >> 1])
+    dx = int(deriv[(180 - angle) >> 1])
+    upsample_left = _get_upsample(w + h, 180 - angle, is_sm) if enable_ief else 0
+    upsample_above = _get_upsample(w + h, angle - 90, is_sm) if enable_ief else 0
+
+    # local edge buffer centered at 64
+    buf = np.zeros(64 + 64 + 1, np.int32)
+    C = 64
+
+    def src_top(i):      # topleft_in[1 + i]
+        return int(e[1 + i])
+
+    def src_tl(i):       # topleft_in[i]
+        return int(e[i])
+
+    if upsample_above:
+        up = _upsample_edge(w + 1, src_tl, 0, w + 1, bd)
+        buf[C:C + 2 * w + 1] = up[:2 * w + 1]
+        dx <<= 1
+    else:
+        strength = _get_filter_strength(w + h, angle - 90, is_sm) \
+            if enable_ief else 0
+        if strength:
+            buf[C + 1:C + 1 + w] = _filter_edge(w, 0, max_width, src_top,
+                                                -1, w, strength)
+        else:
+            buf[C + 1:C + 1 + w] = [src_top(i) for i in range(w)]
+    if upsample_left:
+        def src_l(i):    # topleft_in[-height + i]
+            return int(e[-h + i])
+        up = _upsample_edge(h + 1, src_l, 0, h + 1, bd)
+        buf[C - 2 * h:C + 1] = up[:2 * h + 1]
+        dy <<= 1
+    else:
+        strength = _get_filter_strength(w + h, 180 - angle, is_sm) \
+            if enable_ief else 0
+        if strength:
+            def src_l(i):
+                return int(e[-h + i])
+            buf[C - h:C] = _filter_edge(h, h - max_height, h, src_l,
+                                        0, h + 1, strength)
+        else:
+            buf[C - h:C] = [int(e[-h + i]) for i in range(h)]
+    buf[C] = int(e[0])
+
+    base_inc_x = 1 + upsample_above
+    left_off = -(1 + upsample_left)
+    out = np.zeros((h, w), np.int32)
+    xpos0 = ((1 + upsample_above) << 6) - dx
+    for y in range(h):
+        xpos = xpos0 - dx * y
+        base_x = xpos >> 6
+        frac_x = xpos & 0x3E
+        ypos = (y << (6 + upsample_left)) - dy
+        for x in range(w):
+            if base_x >= 0:
+                v = int(buf[C + base_x]) * (64 - frac_x) + \
+                    int(buf[C + base_x + 1]) * frac_x
+            else:
+                base_y = ypos >> 6
+                frac_y = ypos & 0x3E
+                v = int(buf[C + left_off - base_y]) * (64 - frac_y) + \
+                    int(buf[C + left_off - (base_y + 1)]) * frac_y
+            out[y, x] = (v + 32) >> 6
+            base_x += base_inc_x
+            ypos -= dy
+    return out
+
+
+def ipred_z3(e, w, h, angle, bd):
+    is_sm = (angle >> 9) & 1
+    enable_ief = angle >> 10
+    angle &= 511
+    dy = int(tables.get("dav1d_dr_intra_derivative")[(270 - angle) >> 1])
+    upsample_left = _get_upsample(w + h, angle - 180, is_sm) if enable_ief else 0
+
+    def src(i):      # topleft_in[-(w+h) + i]
+        return int(e[-(w + h) + i])
+
+    if upsample_left:
+        arr = _upsample_edge(w + h, src, max(w - h, 0), w + h + 1, bd)
+        # left[-i] = arr[2*(w+h)-2 - i]
+        base_arr = arr
+        left_anchor = 2 * (w + h) - 2
+        max_base_y = 2 * (w + h) - 2
+        dy <<= 1
+    else:
+        strength = _get_filter_strength(w + h, angle - 180, is_sm) \
+            if enable_ief else 0
+        if strength:
+            base_arr = _filter_edge(w + h, 0, w + h, src, max(w - h, 0),
+                                    w + h + 1, strength)
+            left_anchor = w + h - 1
+            max_base_y = w + h - 1
+        else:
+            base_arr = np.array([int(e[-(w + h) + i]) for i in range(w + h)],
+                                np.int32)
+            left_anchor = w + h - 1   # left = topleft_in[-1]
+            max_base_y = h + min(w, h) - 1
+    base_inc = 1 + upsample_left
+    out = np.zeros((h, w), np.int32)
+    for x in range(w):
+        ypos = dy * (x + 1)
+        frac = ypos & 0x3E
+        base = ypos >> 6
+        y = 0
+        while y < h:
+            if base < max_base_y:
+                v = int(base_arr[left_anchor - base]) * (64 - frac) + \
+                    int(base_arr[left_anchor - (base + 1)]) * frac
+                out[y, x] = (v + 32) >> 6
+                y += 1
+                base += base_inc
+            else:
+                out[y:, x] = base_arr[left_anchor - max_base_y]
+                break
+    return out
+
+
+def ipred_filter(e, w, h, filt_idx, bd):
+    """reference ipred_tmpl.c:620-659 (non-x86 FILTER layout)."""
+    filt_idx &= 511
+    flt = tables.get("dav1d_filter_intra_taps")[filt_idx].astype(np.int32)
+    bd_max = (1 << bd) - 1
+    out = np.zeros((h, w), np.int32)
+
+    def get(yy, xx):
+        # coordinates relative to block; negative = edge pixels
+        if yy < 0:
+            return int(e[1 + xx])
+        if xx < 0:
+            return int(e[-(yy + 1)]) if yy >= 0 else int(e[0])
+        return int(out[yy, xx])
+
+    for y in range(0, h, 2):
+        for x in range(0, w, 4):
+            if y == 0 and x == 0:
+                p0 = int(e[0])
+            elif y == 0:
+                p0 = get(-1, x - 1)
+            elif x == 0:
+                p0 = int(e[-y])
+            else:
+                p0 = get(y - 1, x - 1)
+            tops = [get(y - 1, x + i) for i in range(4)]
+            lefts = [get(y, x - 1), get(y + 1, x - 1)]
+            p1, p2, p3, p4 = tops
+            p5, p6 = lefts
+            for yy in range(2):
+                for xx in range(4):
+                    fi = yy * 4 + xx
+                    # tables_data.npz carries the x86 interleaved tap
+                    # layout (reference tables.c:751-757)
+                    acc = (int(flt[2 * fi]) * p0 + int(flt[2 * fi + 1]) * p1 +
+                           int(flt[16 + 2 * fi]) * p2 +
+                           int(flt[17 + 2 * fi]) * p3 +
+                           int(flt[32 + 2 * fi]) * p4 +
+                           int(flt[33 + 2 * fi]) * p5 +
+                           int(flt[48 + 2 * fi]) * p6)
+                    out[y + yy, x + xx] = np.clip((acc + 8) >> 4, 0, bd_max)
+    return out
+
+
+def cfl_ac(y_plane, py, px, ss_hor, ss_ver, w_pad, h_pad, cw, ch):
+    """Chroma-from-luma AC extraction (reference ipred_tmpl.c:661-720).
+    y_plane: luma plane; (py, px) luma pixel origin; cw/ch chroma pred
+    size in px. Returns (ch, cw) int32."""
+    ac = np.zeros((ch, cw), np.int32)
+    for y in range(ch - 4 * h_pad):
+        for x in range(cw - 4 * w_pad):
+            s = int(y_plane[py + (y << ss_ver), px + (x << ss_hor)])
+            if ss_hor:
+                s += int(y_plane[py + (y << ss_ver), px + x * 2 + 1])
+            if ss_ver:
+                s += int(y_plane[py + (y << ss_ver) + 1, px + (x << ss_hor)])
+                if ss_hor:
+                    s += int(y_plane[py + (y << ss_ver) + 1, px + x * 2 + 1])
+            ac[y, x] = s << (1 + (not ss_ver) + (not ss_hor))
+        for x in range(cw - 4 * w_pad, cw):
+            ac[y, x] = ac[y, x - 1]
+    for y in range(ch - 4 * h_pad, ch):
+        ac[y] = ac[y - 1]
+    log2sz = (cw.bit_length() - 1) + (ch.bit_length() - 1)
+    total = int(ac.sum()) + ((1 << log2sz) >> 1)
+    total >>= log2sz
+    return ac - total
+
+
+def cfl_pred(dc, ac, alpha, w, h, bd):
+    """reference ipred_tmpl.c:91-104."""
+    bd_max = (1 << bd) - 1
+    diff = alpha * ac[:h, :w]
+    v = np.abs(diff)
+    v = (v + 32) >> 6
+    v = np.where(diff < 0, -v, v)
+    return np.clip(dc + v, 0, bd_max)
+
+
+def pal_pred(pal, idx, w, h):
+    """pal: 8 entries; idx: (h, w) palette index array."""
+    return pal[idx[:h, :w]]
+
+
+PREDICTORS = {
+    DC_PRED: ipred_dc, DC_128_PRED: ipred_dc_128, TOP_DC_PRED: ipred_dc_top,
+    LEFT_DC_PRED: ipred_dc_left, HOR_PRED: ipred_h, VERT_PRED: ipred_v,
+    PAETH_PRED: ipred_paeth, SMOOTH_PRED: ipred_smooth,
+    SMOOTH_V_PRED: ipred_smooth_v, SMOOTH_H_PRED: ipred_smooth_h,
+    Z1_PRED: ipred_z1, Z3_PRED: ipred_z3, FILTER_PRED: ipred_filter,
+}
+
+CFL_PREDICTORS = {
+    DC_PRED: _dc_gen, DC_128_PRED: None, TOP_DC_PRED: _dc_gen_top,
+    LEFT_DC_PRED: _dc_gen_left,
+}
+
+
+def cfl_dc(mode, e, w, h, bd):
+    if mode == DC_PRED:
+        return _dc_gen(e, w, h, bd)
+    if mode == DC_128_PRED:
+        return (1 << bd) >> 1
+    if mode == TOP_DC_PRED:
+        return _dc_gen_top(e, w)
+    if mode == LEFT_DC_PRED:
+        return _dc_gen_left(e, h)
+    raise AssertionError(mode)

@@ -1,0 +1,34 @@
+"""Output picture container (reference src/picture.c buffer geometry:
+planes padded to 128-aligned dimensions; we keep exact-size numpy planes
+plus the visible-geometry metadata the muxers need)."""
+from __future__ import annotations
+
+import numpy as np
+
+
+class Picture:
+    __slots__ = ("planes", "w", "h", "bpc", "layout", "layout_name",
+                 "ss_hor", "ss_ver")
+
+    _NAMES = {0: "I400", 1: "I420", 2: "I422", 3: "I444"}
+
+    def __init__(self, w, h, layout, bpc):
+        self.w = w
+        self.h = h
+        self.bpc = bpc
+        self.layout = layout
+        self.layout_name = self._NAMES[int(layout)]
+        self.ss_hor = 0 if layout == 3 else 1
+        self.ss_ver = 1 if layout == 1 else 0
+        dtype = np.uint8 if bpc == 8 else np.uint16
+        # padded to 128-aligned dims like the reference allocator
+        # (reference picture.c:46-49) — edge tx/pred blocks overshoot the
+        # visible area into the padding
+        aw = (w + 127) & ~127
+        ah = (h + 127) & ~127
+        self.planes = [np.zeros((ah, aw), dtype)]
+        if layout != 0:
+            cw = (aw + self.ss_hor) >> self.ss_hor
+            chh = (ah + self.ss_ver) >> self.ss_ver
+            self.planes += [np.zeros((chh, cw), dtype),
+                            np.zeros((chh, cw), dtype)]
