@@ -29,6 +29,8 @@ CONFIGS = [
     dict(w=320, h=180, seed=17, qidx=30, delta_q=1, delta_lf=1),
     dict(w=96, h=64, seed=19, qidx=0),          # lossless / WHT
     dict(w=256, h=192, seed=21, qidx=100, sb128=1),
+    dict(w=128, h=96, seed=70, qidx=120, hbd=1),
+    dict(w=96, h=128, seed=71, qidx=40, hbd=1, sb128=1),
     dict(w=64, h=64, seed=20, qidx=100, reduced_txtp=1),
 ]
 
