@@ -23,7 +23,6 @@ def main():
     from tools.streamgen.gen import generate_intra_stream
     from dav1d_tpu.bitstream.ivf import IvfReader
     from dav1d_tpu.decoder import ObuStreamDecoder
-    from dav1d_tpu.recon.intra_ref import reconstruct_intra_frame
     from dav1d_tpu.utils.muxers import Md5Muxer
 
     if os.path.exists(CACHE):
@@ -37,16 +36,15 @@ def main():
     # warm-up decode (jit compiles etc. when the TPU path is used)
     frames = [fr.data for fr in IvfReader(data)]
     dec = ObuStreamDecoder()
-    for plan in dec.decode_temporal_unit(frames[0]):
-        reconstruct_intra_frame(plan)
+    dec.decode_temporal_unit(frames[0])
 
     t0 = time.perf_counter()
     n = 0
     dec = ObuStreamDecoder()
     mux = Md5Muxer()
     for fd in frames:
-        for plan in dec.decode_temporal_unit(fd):
-            mux.write_picture(reconstruct_intra_frame(plan))
+        for _plan, pic in dec.decode_temporal_unit(fd):
+            mux.write_picture(pic)
             n += 1
     dt = time.perf_counter() - t0
     fps = n / dt

@@ -1,20 +1,23 @@
-"""Stage C lite: OBU stream → per-frame symbol plans (and, once recon is
-wired, pictures).
+"""Stage C: OBU stream → frames, with the 8-slot reference state machine.
 
 Mirrors the reference's dav1d_parse_obus / dav1d_submit_frame control
-flow (reference obu.c:1169-1695, decode.c:3327+) for the currently
-supported feature set. The full ref-slot state machine (8 pictures,
-8 CDFs, show_existing, SVC layer selection) lands with the inter path.
+flow (reference obu.c:1169-1695, decode.c:3327-3712): ref-slot pictures
++ headers + CDFs + temporal MVs + segmaps, primary-ref CDF inheritance,
+refresh_frame_flags, refmvs frame init, and show_existing_frame.
 """
 from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from .bitstream.getbits import GetBits
 from .bitstream import obu as obu_mod
-from .bitstream.headers import FrameHeader, ObuType
+from .bitstream.headers import FrameHeader, ObuType, PRIMARY_REF_NONE
 from .entropy.cdf import CdfContext
 from .entropy.decode import FrameContext, FramePlan, TileParser
+from .entropy import warpmv as wmv
+from .bitstream.headers import WarpedMotionType
 
 
 @dataclass
@@ -24,17 +27,33 @@ class TileGroupData:
     data: bytes
 
 
-class ObuStreamDecoder:
-    """Parses temporal units into frames; runs Stage A on each."""
+@dataclass
+class RefSlot:
+    """One of the 8 reference slots (reference Dav1dContext refs[] +
+    cdf[]; internal.h:166-175)."""
+    pic: object = None            # recon Picture
+    frame_hdr: object = None
+    poc: int = 0
+    refpoc: list = field(default_factory=lambda: [0] * 7)
+    cdf: object = None            # CdfContext
+    rp: object = None             # temporal mvs {mv, ref} or None
+    segmap: object = None
 
-    def __init__(self):
+
+class ObuStreamDecoder:
+    """Parses temporal units into frames; runs Stage A (+ recon when
+    enabled) on each."""
+
+    def __init__(self, do_recon: bool = True):
         self.state = obu_mod.ParserState()
         self.tile_groups: list[TileGroupData] = []
         self.n_tiles = 0
+        self.do_recon = do_recon
+        self.refs = [RefSlot() for _ in range(8)]
+        # keep parser-visible ref headers in sync
+        self.state.refs = [obu_mod.RefSlot() for _ in range(8)]
 
     def _split_tiles(self, fh) -> list:
-        """Split accumulated tile-group payloads into per-tile byte
-        ranges (reference decode.c:3152-3181)."""
         tiles = []
         n_bytes = fh.tiling.n_bytes
         for tg in self.tile_groups:
@@ -52,24 +71,25 @@ class ObuStreamDecoder:
         return tiles
 
     def decode_temporal_unit(self, data: bytes) -> list:
-        """Feed one temporal unit; returns list of FramePlan completed."""
-        plans = []
+        """Feed one temporal unit; returns list of results — FramePlan
+        when do_recon is off, else (FramePlan|None, Picture)."""
+        out = []
         pos = 0
         while pos < len(data):
-            consumed, plan = self._parse_obu(data[pos:])
-            if plan is not None:
-                plans.append(plan)
+            consumed, res = self._parse_obu(data[pos:])
+            if res is not None:
+                out.append(res)
             pos += consumed
-        return plans
+        return out
 
     def _parse_obu(self, data: bytes):
         st = self.state
         gb = GetBits(data)
-        gb.get_bit()                       # forbidden
+        gb.get_bit()
         obu_type = gb.get_bits(4)
         has_extension = gb.get_bit()
         has_length = gb.get_bit()
-        gb.get_bit()                       # reserved
+        gb.get_bit()
         temporal_id = spatial_id = 0
         if has_extension:
             temporal_id = gb.get_bits(3)
@@ -85,7 +105,7 @@ class ObuStreamDecoder:
         if gb.error or end > len(data):
             raise obu_mod.ParseError("truncated OBU")
 
-        plan = None
+        res = None
         if obu_type == ObuType.SEQ_HDR:
             st.seq_hdr = obu_mod.parse_seq_hdr(
                 GetBits(data[payload_start:end]), st.strict)
@@ -103,16 +123,40 @@ class ObuStreamDecoder:
             self.tile_groups = []
             self.n_tiles = 0
             if st.frame_hdr.show_existing_frame:
-                raise NotImplementedError("show_existing_frame (stage C)")
+                res = self._show_existing()
+                st.frame_hdr = None
+                return end, res
             if obu_type == ObuType.FRAME:
                 fgb.bytealign()
-                plan = self._handle_tile_group(
+                res = self._handle_tile_group(
                     data[payload_start + fgb.byte_pos():end])
         elif obu_type == ObuType.TILE_GRP:
-            plan = self._handle_tile_group(data[payload_start:end])
+            res = self._handle_tile_group(data[payload_start:end])
         elif obu_type in (ObuType.METADATA, ObuType.TD, ObuType.PADDING):
             pass
-        return end, plan
+        return end, res
+
+    def _show_existing(self):
+        slot = self.refs[self.state.frame_hdr.existing_frame_idx]
+        if slot.pic is None:
+            raise obu_mod.ParseError("show_existing of empty slot")
+        # key frames shown via show_existing reset state like a shown key
+        if slot.frame_hdr is not None and slot.frame_hdr.frame_type == 0:
+            self._refresh_slots_for_key_show_existing(slot)
+        return (None, slot.pic)
+
+    def _refresh_slots_for_key_show_existing(self, slot):
+        """reference obu.c:1593-1617: showing an existing KEY frame
+        refreshes all other slots from it."""
+        for i, s in enumerate(self.refs):
+            if s is slot:
+                continue
+            self.refs[i] = RefSlot(pic=slot.pic, frame_hdr=slot.frame_hdr,
+                                   poc=slot.poc,
+                                   refpoc=list(slot.refpoc),
+                                   cdf=slot.cdf, rp=slot.rp,
+                                   segmap=slot.segmap)
+            self.state.refs[i].frame_hdr = slot.frame_hdr
 
     def _handle_tile_group(self, payload: bytes):
         st = self.state
@@ -129,24 +173,126 @@ class ObuStreamDecoder:
             return self._decode_frame()
         return None
 
-    def _decode_frame(self) -> FramePlan:
+    # ------------------------------------------------------------------
+    def _decode_frame(self, coder_factory=None):
+        """Decode the pending frame. When coder_factory is given (the
+        stream generator), tile payloads are synthesized instead of
+        parsed: coder_factory(tile_idx) must return a GenCoder that
+        TileParser drives; the finalized payloads are stored in
+        self.last_tile_payloads."""
+        from .entropy.refmvs import RefMvsFrame
+
         st = self.state
         fh = st.frame_hdr
-        if fh.primary_ref_frame != 7:
-            raise NotImplementedError("primary-ref CDF inheritance")
-        tiles = self._split_tiles(fh)
-        f = FrameContext(st.seq_hdr, fh)
+        seq = st.seq_hdr
+        tiles = self._split_tiles(fh) if coder_factory is None else None
+        f = FrameContext(seq, fh)
+        key_or_intra = not (fh.frame_type & 1)
+
+        # reference setup (reference decode.c:3444-3489)
+        refp = [None] * 7
+        if not key_or_intra:
+            for i in range(7):
+                slot = self.refs[fh.refidx[i]]
+                if slot.frame_hdr is None or \
+                        (self.do_recon and coder_factory is None and
+                         slot.pic is None):
+                    raise obu_mod.ParseError("missing reference picture")
+                refp[i] = slot
+                f.refpoc[i] = slot.poc
+                if (fh.width[0] != slot.frame_hdr.width[0] or
+                        fh.height != slot.frame_hdr.height):
+                    raise NotImplementedError("scaled references (SVC)")
+                f.svc_scale[i] = 0
+                g = fh.gmv[i]
+                f.gmv_warp_allowed[i] = int(
+                    g.type > WarpedMotionType.TRANSLATION and
+                    not fh.force_integer_mv and
+                    not wmv.get_shear_params(g) and not f.svc_scale[i])
+        f.refp = refp
+
+        # refmvs frame state
+        if not key_or_intra or fh.allow_intrabc:
+            if not fh.allow_intrabc:
+                ref_poc = [self.refs[fh.refidx[i]].poc for i in range(7)]
+            else:
+                ref_poc = [0] * 7
+            ref_ref_poc = [[0] * 7 for _ in range(7)]
+            rp_ref = [None] * 7
+            if fh.use_ref_frame_mvs:
+                for i in range(7):
+                    slot = self.refs[fh.refidx[i]]
+                    if slot.frame_hdr is not None:
+                        ref_w = ((slot.frame_hdr.width[0] + 7) >> 3) << 1
+                        ref_h = ((slot.frame_hdr.height + 7) >> 3) << 1
+                    else:
+                        ref_w = ref_h = 0
+                    if slot.rp is not None and ref_w == f.bw and \
+                            ref_h == f.bh:
+                        rp_ref[i] = slot.rp
+                    ref_ref_poc[i] = list(slot.refpoc)
+            f.rf = RefMvsFrame(seq, fh, ref_poc, ref_ref_poc, rp_ref)
+            if f.rf.use_ref_frame_mvs:
+                f.rf.load_tmvs(0, f.rf.iw8, 0, f.rf.ih8)
+
+        # CDF lifecycle (reference decode.c:3492-3501)
+        if fh.primary_ref_frame == PRIMARY_REF_NONE:
+            in_cdf = CdfContext.default(fh.quant.yac)
+        else:
+            pri = fh.refidx[fh.primary_ref_frame]
+            if self.refs[pri].cdf is None:
+                raise obu_mod.ParseError("primary ref without CDF")
+            in_cdf = self.refs[pri].cdf
+
         plan = FramePlan(f)
-        in_cdf = CdfContext.default(fh.quant.yac)
+        out_cdf = None
         tile_idx = 0
+        n_cols = fh.tiling.cols
+        self.last_tile_payloads = []
         for tr in range(fh.tiling.rows):
-            for tc in range(fh.tiling.cols):
+            for tc in range(n_cols):
                 cdf = in_cdf.copy()
-                tp = TileParser(f, plan, tiles[tile_idx], tr, tc, cdf)
+                data = b"" if coder_factory else tiles[tile_idx]
+                tp = TileParser(f, plan, data, tr, tc, cdf)
+                if coder_factory is not None:
+                    tp.msac = coder_factory(tile_idx, cdf)
                 tp.parse_tile()
+                if coder_factory is not None:
+                    self.last_tile_payloads.append(tp.msac.enc.finalize())
+                if fh.refresh_context and \
+                        tile_idx == fh.tiling.update:
+                    out_cdf = in_cdf.copy()
+                    out_cdf.update_from(cdf, key_or_intra=key_or_intra)
                 tile_idx += 1
+
+        # temporal mv save for future frames
+        rp = None
+        if f.rf is not None and not fh.allow_intrabc:
+            f.rf.save_tmvs(0, f.rf.iw8, 0, f.rf.ih8)
+            rp = {"mv": f.rf.rp_mv, "ref": f.rf.rp_ref_idx}
+
+        # reconstruction
+        pic = None
+        if self.do_recon and coder_factory is None:
+            if key_or_intra:
+                from .recon.intra_ref import reconstruct_intra_frame
+                pic = reconstruct_intra_frame(plan)
+            else:
+                from .recon.inter_ref import reconstruct_inter_frame
+                pic = reconstruct_inter_frame(plan, refp)
+
+        # slot refresh (reference decode.c:3669-3695)
+        final_cdf = out_cdf if fh.refresh_context else in_cdf
+        for i in range(8):
+            if fh.refresh_frame_flags & (1 << i):
+                self.refs[i] = RefSlot(
+                    pic=pic, frame_hdr=fh, poc=fh.frame_offset,
+                    refpoc=list(f.refpoc), cdf=final_cdf, rp=rp)
+                self.state.refs[i].frame_hdr = fh
+
         st.frame_hdr = None
         self.tile_groups = []
         self.n_tiles = 0
-        # ref-slot updates (segmaps/cdfs) land with the inter path
+        if self.do_recon:
+            return (plan, pic)
         return plan

@@ -26,6 +26,7 @@ from ..bitstream.headers import (FrameType, PixelLayout, TxfmMode,
 from . import levels as lv
 from . import env
 from .cdf import CdfContext
+from .decode_inter import InterParserMixin
 from .intra_edge import INTRA_EDGE_TREE
 from .msac import MsacDecoder
 
@@ -77,6 +78,20 @@ class Block:
     # inter fields (filled by the inter path)
     ref: tuple = (-1, -1)
     mv: tuple = ((0, 0), (0, 0))
+    inter_mode: int = 0
+    drl_idx: int = 0
+    comp_type: int = 0
+    skip_mode: int = 0
+    interintra_type: int = 0
+    interintra_mode: int = 0
+    wedge_idx: int = 0
+    mask_sign: int = 0
+    motion_mode: int = 0
+    filter: tuple = (0, 0)
+    filter2d: int = 0
+    max_ytx: int = 0
+    tx_split: tuple = (0, 0)
+    warpmv: object = None
 
 
 class FrameContext:
@@ -100,6 +115,14 @@ class FrameContext:
         self.sb128w = (self.bw + 31) >> 5
         self.sb128h = (self.bh + 31) >> 5
         self.key_or_intra = not (frame_hdr.frame_type & 1)
+
+        # inter-frame reference state, filled by the stage-C driver
+        # (reference decode.c:3444-3489): refpoc[i] = frame_offset of
+        # ref i; svc_scale nonzero when the ref is scaled (SVC)
+        self.refpoc = [0] * 7
+        self.svc_scale = [0] * 7
+        self.gmv_warp_allowed = [0] * 7
+        self.rf = None            # RefMvsFrame for inter frames
 
         # dequant tables per segment (reference decode.c:54-75)
         self.dq = self._init_quant_tables(frame_hdr.quant.yac)
@@ -159,7 +182,7 @@ class FramePlan:
                                 np.int8)
 
 
-class TileParser:
+class TileParser(InterParserMixin):
     """Symbol decoder for one tile (maps to Dav1dTileState + task ctx)."""
 
     def __init__(self, f: FrameContext, plan: FramePlan, data: bytes,
@@ -190,6 +213,14 @@ class TileParser:
         self.levels_buf = np.zeros(36 * 36, np.uint8)
         self.cur_sb_cdef_idx = None
         self.dbg = False   # mirror of the reference's DEBUG_BLOCK_INFO trace
+        # inter-frame state: refmvs tile view + per-sb luma txtp scratch
+        self.rt = None
+        if not f.key_or_intra or fh.allow_intrabc:
+            from .refmvs import RefMvsTile
+            if f.rf is not None:
+                self.rt = RefMvsTile(f.rf, self.col_start, self.col_end,
+                                     self.row_start, self.row_end)
+        self.txtp_map = np.zeros((32, aw), np.uint8)
 
     @staticmethod
     def _alloc_wide_ctx(ctx: env.BlockContext, w: int) -> None:
@@ -259,6 +290,10 @@ class TileParser:
         elif have_h_split:
             is_split = self.msac.decode_bool(
                 env.gather_top_partition_prob(pc, bl))
+            if self.dbg:
+                bpd = lv.PARTITION_SPLIT if is_split else lv.PARTITION_H
+                print(f"y={self.by},x={self.bx},bl={bl},ctx={ctx},"
+                      f"bp={bpd}: r={self.msac.rng}")
             assert bl < lv.BL_8X8
             if is_split:
                 bp = lv.PARTITION_SPLIT
@@ -275,6 +310,10 @@ class TileParser:
                 env.gather_left_partition_prob(pc, bl))
             if f.layout == PixelLayout.I422 and not is_split:
                 raise ValueError("4:2:2 forbidden vertical partition")
+            if self.dbg:
+                bpd = lv.PARTITION_SPLIT if is_split else lv.PARTITION_V
+                print(f"y={self.by},x={self.bx},bl={bl},ctx={ctx},"
+                      f"bp={bpd}: r={self.msac.rng}")
             assert bl < lv.BL_8X8
             if is_split:
                 bp = lv.PARTITION_SPLIT
@@ -434,6 +473,7 @@ class TileParser:
             b_skip_mode = msac.decode_bool_adapt(cdf.m.skip_mode[smctx])
 
         # skip
+        b.skip_mode = b_skip_mode
         if b_skip_mode or (seg is not None and seg.skip):
             b.skip = 1
         else:
@@ -477,8 +517,18 @@ class TileParser:
                                  bw4, bh4, w4, h4, cbw4, cbh4,
                                  have_top, have_left, has_chroma, seg,
                                  seg_pred)
+            if (not f.key_or_intra or fh.allow_intrabc) and \
+                    self.rt is not None:
+                # splat_intraref (reference decode.c:563-576)
+                from .refmvs import INVALID_MV
+                self.rt.rf.splat_mv(self.bx, self.by, bw4, bh4,
+                                    ((INVALID_MV, INVALID_MV), (0, 0)),
+                                    (0, -1), bs, 0)
         else:
-            raise NotImplementedError("inter blocks not yet implemented")
+            self._decode_b_inter(b, bl, bs, bp, b_dim, bx4, by4, cbx4, cby4,
+                                 bw4, bh4, w4, h4, cbw4, cbh4,
+                                 have_top, have_left, has_chroma, seg,
+                                 seg_pred, edge_flags)
 
         self.plan.blocks.append(b)
 
@@ -774,6 +824,9 @@ class TileParser:
                             b.tx, bs, b, True, 0)
                         self.plan.coefs.append(CoefBlock(
                             0, self.bx, self.by, b.tx, txtp, eob, cf))
+                        if self.dbg:
+                            print(f"Post-y-cf-blk[tx={b.tx},txtp={txtp},"
+                                  f"eob={eob}]: r={self.msac.rng}")
                         nw = min(t_dim.w, f.bw - self.bx)
                         nh = min(t_dim.h, f.bh - self.by)
                         a.lcoef[bx4 + x:bx4 + x + nw] = cf_ctx
@@ -802,6 +855,10 @@ class TileParser:
                             self.plan.coefs.append(CoefBlock(
                                 1 + pl, (self.bx >> ss_hor),
                                 (self.by >> ss_ver), b.uvtx, txtp, eob, cf))
+                            if self.dbg:
+                                print(f"Post-uv-cf-blk[pl={pl},tx={b.uvtx},"
+                                      f"txtp={txtp},eob={eob}]: "
+                                      f"r={self.msac.rng}")
                             ctw = min(uv_t_dim.w,
                                       (f.bw - self.bx + ss_hor) >> ss_hor)
                             cth = min(uv_t_dim.h,

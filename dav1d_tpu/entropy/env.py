@@ -178,3 +178,185 @@ def neg_deinterleave(diff: int, ref: int, mx: int) -> int:
     if diff <= 2 * (mx - ref - 1):
         return ref + ((diff + 1) >> 1) if diff & 1 else ref - (diff >> 1)
     return mx - (diff + 1)
+
+
+# --- inter-mode contexts (reference env.h:96-263, 280-445) -----------------
+
+def get_filter_ctx(a: BlockContext, l: BlockContext, comp: int, dir_: int,
+                   ref: int, yb4: int, xb4: int) -> int:
+    a_filter = int(a.filter[dir_][xb4]) \
+        if (a.ref[0][xb4] == ref or a.ref[1][xb4] == ref) \
+        else lv.N_SWITCHABLE_FILTERS
+    l_filter = int(l.filter[dir_][yb4]) \
+        if (l.ref[0][yb4] == ref or l.ref[1][yb4] == ref) \
+        else lv.N_SWITCHABLE_FILTERS
+    if a_filter == l_filter:
+        return comp * 4 + a_filter
+    if a_filter == lv.N_SWITCHABLE_FILTERS:
+        return comp * 4 + l_filter
+    if l_filter == lv.N_SWITCHABLE_FILTERS:
+        return comp * 4 + a_filter
+    return comp * 4 + lv.N_SWITCHABLE_FILTERS
+
+
+def get_comp_ctx(a, l, yb4, xb4, have_top, have_left):
+    if have_top:
+        if have_left:
+            if a.comp_type[xb4]:
+                if l.comp_type[yb4]:
+                    return 4
+                return 2 + (int(l.ref[0][yb4]) >= 4 or int(l.ref[0][yb4]) < 0)
+            if l.comp_type[yb4]:
+                return 2 + (int(a.ref[0][xb4]) >= 4 or int(a.ref[0][xb4]) < 0)
+            return int(l.ref[0][yb4] >= 4) ^ int(a.ref[0][xb4] >= 4)
+        return 3 if a.comp_type[xb4] else int(a.ref[0][xb4] >= 4)
+    if have_left:
+        return 3 if l.comp_type[yb4] else int(l.ref[0][yb4] >= 4)
+    return 1
+
+
+def _has_uni_comp(edge, off):
+    return (int(edge.ref[0][off]) < 4) == (int(edge.ref[1][off]) < 4)
+
+
+def get_comp_dir_ctx(a, l, yb4, xb4, have_top, have_left):
+    if have_top and have_left:
+        a_intra, l_intra = int(a.intra[xb4]), int(l.intra[yb4])
+        if a_intra and l_intra:
+            return 2
+        if a_intra or l_intra:
+            edge, off = (l, yb4) if a_intra else (a, xb4)
+            if edge.comp_type[off] == lv.COMP_INTER_NONE:
+                return 2
+            return 1 + 2 * _has_uni_comp(edge, off)
+        a_comp = int(a.comp_type[xb4]) != lv.COMP_INTER_NONE
+        l_comp = int(l.comp_type[yb4]) != lv.COMP_INTER_NONE
+        a_ref0, l_ref0 = int(a.ref[0][xb4]), int(l.ref[0][yb4])
+        if not a_comp and not l_comp:
+            return 1 + 2 * ((a_ref0 >= 4) == (l_ref0 >= 4))
+        if not a_comp or not l_comp:
+            edge, off = (a, xb4) if a_comp else (l, yb4)
+            if not _has_uni_comp(edge, off):
+                return 1
+            return 3 + ((a_ref0 >= 4) == (l_ref0 >= 4))
+        a_uni = _has_uni_comp(a, xb4)
+        l_uni = _has_uni_comp(l, yb4)
+        if not a_uni and not l_uni:
+            return 0
+        if not a_uni or not l_uni:
+            return 2
+        return 3 + ((a_ref0 == 4) == (l_ref0 == 4))
+    if have_top or have_left:
+        edge, off = (l, yb4) if have_left else (a, xb4)
+        if edge.intra[off]:
+            return 2
+        if edge.comp_type[off] == lv.COMP_INTER_NONE:
+            return 2
+        return 4 * _has_uni_comp(edge, off)
+    return 2
+
+
+def get_jnt_comp_ctx(order_hint_n_bits, poc, ref0poc, ref1poc, a, l,
+                     yb4, xb4):
+    from ..bitstream.obu import get_poc_diff
+    d0 = abs(get_poc_diff(order_hint_n_bits, ref0poc, poc))
+    d1 = abs(get_poc_diff(order_hint_n_bits, poc, ref1poc))
+    offset = int(d0 == d1)
+    a_ctx = int(a.comp_type[xb4] >= lv.COMP_INTER_AVG or a.ref[0][xb4] == 6)
+    l_ctx = int(l.comp_type[yb4] >= lv.COMP_INTER_AVG or l.ref[0][yb4] == 6)
+    return 3 * offset + a_ctx + l_ctx
+
+
+def get_mask_comp_ctx(a, l, yb4, xb4):
+    a_ctx = 1 if a.comp_type[xb4] >= lv.COMP_INTER_SEG else \
+        3 if a.ref[0][xb4] == 6 else 0
+    l_ctx = 1 if l.comp_type[yb4] >= lv.COMP_INTER_SEG else \
+        3 if l.ref[0][yb4] == 6 else 0
+    return min(a_ctx + l_ctx, 5)
+
+
+def _ref_cnts(a, l, yb4, xb4, have_top, have_left, fn):
+    """Generic counting helper over up to 4 neighbor refs."""
+    refs = []
+    if have_top and not a.intra[xb4]:
+        refs.append(int(a.ref[0][xb4]))
+        if a.comp_type[xb4]:
+            refs.append(int(a.ref[1][xb4]))
+    if have_left and not l.intra[yb4]:
+        refs.append(int(l.ref[0][yb4]))
+        if l.comp_type[yb4]:
+            refs.append(int(l.ref[1][yb4]))
+    return refs
+
+
+def av1_get_ref_ctx(a, l, yb4, xb4, have_top, have_left):
+    cnt = [0, 0]
+    for r in _ref_cnts(a, l, yb4, xb4, have_top, have_left, None):
+        cnt[r >= 4] += 1
+    return 1 if cnt[0] == cnt[1] else (0 if cnt[0] < cnt[1] else 2)
+
+
+def av1_get_fwd_ref_ctx(a, l, yb4, xb4, have_top, have_left):
+    cnt = [0, 0, 0, 0]
+    for r in _ref_cnts(a, l, yb4, xb4, have_top, have_left, None):
+        if 0 <= r < 4:
+            cnt[r] += 1
+    c0, c2 = cnt[0] + cnt[1], cnt[2] + cnt[3]
+    return 1 if c0 == c2 else (0 if c0 < c2 else 2)
+
+
+def av1_get_fwd_ref_1_ctx(a, l, yb4, xb4, have_top, have_left):
+    cnt = [0, 0]
+    for r in _ref_cnts(a, l, yb4, xb4, have_top, have_left, None):
+        if 0 <= r < 2:
+            cnt[r] += 1
+    return 1 if cnt[0] == cnt[1] else (0 if cnt[0] < cnt[1] else 2)
+
+
+def av1_get_fwd_ref_2_ctx(a, l, yb4, xb4, have_top, have_left):
+    cnt = [0, 0]
+    for r in _ref_cnts(a, l, yb4, xb4, have_top, have_left, None):
+        if r in (2, 3):
+            cnt[r - 2] += 1
+    return 1 if cnt[0] == cnt[1] else (0 if cnt[0] < cnt[1] else 2)
+
+
+def av1_get_bwd_ref_ctx(a, l, yb4, xb4, have_top, have_left):
+    cnt = [0, 0, 0]
+    for r in _ref_cnts(a, l, yb4, xb4, have_top, have_left, None):
+        if r >= 4:
+            cnt[r - 4] += 1
+    c1 = cnt[1] + cnt[0]
+    return 1 if cnt[2] == c1 else (0 if c1 < cnt[2] else 2)
+
+
+def av1_get_bwd_ref_1_ctx(a, l, yb4, xb4, have_top, have_left):
+    cnt = [0, 0, 0]
+    for r in _ref_cnts(a, l, yb4, xb4, have_top, have_left, None):
+        if r >= 4:
+            cnt[r - 4] += 1
+    return 1 if cnt[0] == cnt[1] else (0 if cnt[0] < cnt[1] else 2)
+
+
+def av1_get_uni_p1_ctx(a, l, yb4, xb4, have_top, have_left):
+    cnt = [0, 0, 0]
+    for r in _ref_cnts(a, l, yb4, xb4, have_top, have_left, None):
+        if 0 <= r - 1 < 3:
+            cnt[r - 1] += 1
+    c1 = cnt[1] + cnt[2]
+    return 1 if cnt[0] == c1 else (0 if cnt[0] < c1 else 2)
+
+
+av1_get_ref_2_ctx = av1_get_bwd_ref_ctx
+av1_get_ref_3_ctx = av1_get_fwd_ref_ctx
+av1_get_ref_4_ctx = av1_get_fwd_ref_1_ctx
+av1_get_ref_5_ctx = av1_get_fwd_ref_2_ctx
+av1_get_ref_6_ctx = av1_get_bwd_ref_1_ctx
+av1_get_uni_p_ctx = av1_get_ref_ctx
+av1_get_uni_p2_ctx = av1_get_fwd_ref_2_ctx
+
+
+def get_drl_context(mvstack, ref_idx):
+    if mvstack[ref_idx]["weight"] >= 640:
+        return int(mvstack[ref_idx + 1]["weight"] < 640)
+    return 2 if mvstack[ref_idx + 1]["weight"] < 640 else 0

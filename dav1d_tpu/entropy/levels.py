@@ -120,3 +120,7 @@ class TxfmInfo:
 
 
 TXFM_INFO = [TxfmInfo(txfm_dimensions[i]) for i in range(N_RECT_TX_SIZES)]
+comp_inter_pred_modes = tables.get("dav1d_comp_inter_pred_modes").astype(np.int32)
+wedge_ctx_lut = tables.get("dav1d_wedge_ctx_lut").astype(np.int32)
+filter_2d = tables.get("dav1d_filter_2d").astype(np.int32)
+filter_dir = tables.get("dav1d_filter_dir").astype(np.int32)

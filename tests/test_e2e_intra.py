@@ -10,7 +10,6 @@ import pytest
 from tools.streamgen.gen import generate_intra_stream
 from dav1d_tpu.bitstream.ivf import IvfReader
 from dav1d_tpu.decoder import ObuStreamDecoder
-from dav1d_tpu.recon.intra_ref import reconstruct_intra_frame
 from dav1d_tpu.utils.muxers import Md5Muxer
 
 ORACLE = "/root/repo/oracle-build/dav1d"
@@ -51,6 +50,6 @@ def test_bit_exact_vs_oracle(cfg, tmp_path):
     dec = ObuStreamDecoder()
     mux = Md5Muxer()
     for fr in IvfReader(data):
-        for plan in dec.decode_temporal_unit(fr.data):
-            mux.write_picture(reconstruct_intra_frame(plan))
+        for _plan, pic in dec.decode_temporal_unit(fr.data):
+            mux.write_picture(pic)
     assert mux.digest() == oracle_md5

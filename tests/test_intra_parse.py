@@ -49,7 +49,7 @@ def _gen(cfg):
                          ids=[f"{c['w']}x{c['h']}-s{c['seed']}" for c in CONFIGS])
 def test_self_decode_recovers_plan(cfg, tmp_path):
     data, results = _gen(cfg)
-    dec = ObuStreamDecoder()
+    dec = ObuStreamDecoder(do_recon=False)
     nplan = 0
     for fr in IvfReader(data):
         for p in dec.decode_temporal_unit(fr.data):

@@ -10,7 +10,6 @@ import numpy as np
 from tools.streamgen.gen import generate_intra_stream
 from dav1d_tpu.bitstream.ivf import IvfReader
 from dav1d_tpu.decoder import ObuStreamDecoder
-from dav1d_tpu.recon.intra_ref import reconstruct_intra_frame
 from dav1d_tpu.entropy import levels as lv
 
 ORACLE = "/root/repo/oracle-build/dav1d"
@@ -29,11 +28,10 @@ def run(w, h, frame=0, **kw):
     ou = raw[w * h:w * h + cw * ch].reshape(ch, cw)
     ov = raw[w * h + cw * ch:].reshape(ch, cw)
     dec = ObuStreamDecoder()
-    plans = []
+    results = []
     for fr in IvfReader(data):
-        plans.extend(dec.decode_temporal_unit(fr.data))
-    plan = plans[frame]
-    pic = reconstruct_intra_frame(plan)
+        results.extend(dec.decode_temporal_unit(fr.data))
+    plan, pic = results[frame]
     my = pic.planes[0]
     found = False
     for b in plan.blocks:

@@ -127,6 +127,8 @@ class GenCoder:
 def write_seq_hdr(width: int, height: int, *, sb128=0, filter_intra=1,
                   intra_edge_filter=1, cdef=0, restoration=0, hbd=0,
                   order_hint=0, screen_content=0, monochrome=0,
+                  inter_intra=0, masked_compound=0, warped_motion=0,
+                  dual_filter=0, jnt_comp=0, ref_frame_mvs=0,
                   layout420=True) -> bytes:
     """Profile-0 (8/10-bit 4:2:0) sequence header matching parse_seq_hdr
     field order (reference obu.c:72-300)."""
@@ -149,14 +151,14 @@ def write_seq_hdr(width: int, height: int, *, sb128=0, filter_intra=1,
     pb.put_bit(sb128)
     pb.put_bit(filter_intra)
     pb.put_bit(intra_edge_filter)
-    pb.put_bit(0)            # inter_intra
-    pb.put_bit(0)            # masked_compound
-    pb.put_bit(0)            # warped_motion
-    pb.put_bit(0)            # dual_filter
+    pb.put_bit(inter_intra)
+    pb.put_bit(masked_compound)
+    pb.put_bit(warped_motion)
+    pb.put_bit(dual_filter)
     pb.put_bit(order_hint)   # order_hint
     if order_hint:
-        pb.put_bit(0)        # jnt_comp
-        pb.put_bit(0)        # ref_frame_mvs
+        pb.put_bit(jnt_comp)
+        pb.put_bit(ref_frame_mvs)
     # screen_content_tools: 0 => write (0,0); 2 (adaptive) => (1)
     if screen_content == 2:
         pb.put_bit(1)
@@ -357,5 +359,381 @@ def generate_intra_stream(width, height, *, qidx=100, seed=0, sb128=0,
             wrap_obu(ObuType.TILE_GRP, body)
         w.write_frame(frame_data)
         results.append((seq, fh, plan))
+    w.finalize()
+    return out.getvalue(), results
+
+
+# ---------------------------------------------------------------------------
+# inter frames
+# ---------------------------------------------------------------------------
+
+def _recenter(r: int, v: int) -> int:
+    """Inverse of inv_recenter (getbits.py)."""
+    if v > 2 * r:
+        return v
+    d = v - r
+    return 2 * d if d >= 0 else 2 * (-d) - 1
+
+
+def _put_uniform(pb: PutBits, mx: int, val: int) -> None:
+    """Inverse of GetBits.get_uniform."""
+    assert mx > 1 and 0 <= val < mx
+    l = mx.bit_length()
+    m = (1 << l) - mx
+    if val < m:
+        pb.put_bits(val, l - 1)
+    else:
+        w = val + m
+        pb.put_bits(w >> 1, l - 1)
+        pb.put_bit(w & 1)
+
+
+def _put_subexp_u(pb: PutBits, t: int, ref: int, n: int) -> None:
+    """Inverse of GetBits._subexp_u: emit value t in [0, n]."""
+    v = _recenter(ref, t) if ref * 2 <= n else _recenter(n - ref, n - t)
+    acc, i = 0, 0
+    while True:
+        b = 3 + i - 1 if i else 3
+        if n < acc + 3 * (1 << b):
+            _put_uniform(pb, n - acc + 1, v - acc)
+            return
+        if v - acc < (1 << b):
+            pb.put_bit(0)
+            pb.put_bits(v - acc, b)
+            return
+        pb.put_bit(1)
+        acc += 1 << b
+        i += 1
+
+
+def put_bits_subexp(pb: PutBits, value: int, ref: int, n: int) -> None:
+    """Inverse of GetBits.get_bits_subexp (value in [-(1<<n), 1<<n])."""
+    _put_subexp_u(pb, value + (1 << n), ref + (1 << n), 2 << n)
+
+
+def _write_gmv(pb: PutBits, gmv, ref_gmv_list, hp: int) -> None:
+    """Global motion params writer mirroring _parse_gmv (obu.py) /
+    reference obu.c:1011-1060. gmv: list of 7 WarpedMotionParams;
+    ref_gmv_list: the primary-ref frame's gmv (or identity list)."""
+    from dav1d_tpu.bitstream.headers import WarpedMotionType as WMT
+    for i in range(7):
+        g = gmv[i]
+        if g.type == WMT.IDENTITY:
+            pb.put_bit(0)
+            continue
+        pb.put_bit(1)
+        if g.type == WMT.ROT_ZOOM:
+            pb.put_bit(1)
+        else:
+            pb.put_bit(0)
+            pb.put_bit(1 if g.type == WMT.TRANSLATION else 0)
+        ref_mat = ref_gmv_list[i].matrix
+        mat = g.matrix
+        if g.type >= WMT.ROT_ZOOM:
+            assert (mat[2] - (1 << 16)) % 2 == 0 and mat[3] % 2 == 0
+            put_bits_subexp(pb, (mat[2] - (1 << 16)) >> 1,
+                            (ref_mat[2] - (1 << 16)) >> 1, 12)
+            put_bits_subexp(pb, mat[3] >> 1, ref_mat[3] >> 1, 12)
+            bits, shift = 12, 10
+        else:
+            bits = 9 - (not hp)
+            shift = 13 + (not hp)
+        if g.type == WMT.AFFINE:
+            put_bits_subexp(pb, mat[4] >> 1, ref_mat[4] >> 1, 12)
+            put_bits_subexp(pb, (mat[5] - (1 << 16)) >> 1,
+                            (ref_mat[5] - (1 << 16)) >> 1, 12)
+        assert mat[0] % (1 << shift) == 0 and mat[1] % (1 << shift) == 0
+        put_bits_subexp(pb, mat[0] >> shift, ref_mat[0] >> shift, bits)
+        put_bits_subexp(pb, mat[1] >> shift, ref_mat[1] >> shift, bits)
+
+
+def make_gmv(rng, types, hp=1):
+    """Build 7 random-but-representable WarpedMotionParams.
+    types: list of 7 WarpedMotionType values."""
+    from dav1d_tpu.bitstream.headers import (WarpedMotionParams,
+                                             WarpedMotionType as WMT)
+    out = []
+    for t in types:
+        g = WarpedMotionParams()
+        g.type = t
+        m = g.matrix
+        if t >= WMT.ROT_ZOOM:
+            shift = 10
+            m[2] = (1 << 16) + 2 * rng.integers(-40, 41)
+            m[3] = 2 * rng.integers(-40, 41)
+            if t == WMT.AFFINE:
+                m[4] = 2 * rng.integers(-40, 41)
+                m[5] = (1 << 16) + 2 * rng.integers(-40, 41)
+            else:
+                m[4] = -m[3]
+                m[5] = m[2]
+        else:
+            shift = 13 + (not hp)
+        if t != WMT.IDENTITY:
+            m[0] = rng.integers(-8, 9) * (1 << shift)
+            m[1] = rng.integers(-8, 9) * (1 << shift)
+        out.append(g)
+    return out
+
+
+def write_inter_frame_hdr(seq, *, poc, refidx=(0,) * 7, qidx=100,
+                          primary_ref=7, refresh_flags=0x01,
+                          disable_cdf_update=0, txfm_switchable=1,
+                          reduced_txtp=0, qm=0, hp=1,
+                          subpel_filter_switchable=1, subpel_filter=0,
+                          switchable_motion_mode=0, use_ref_frame_mvs=0,
+                          switchable_comp_refs=0, skip_mode_allowed=0,
+                          skip_mode=0, warp_motion=0, gmv=None,
+                          ref_gmv=None, error_resilient=0,
+                          tile_log2_cols=0, tile_log2_rows=0,
+                          delta_q=0, delta_lf=0,
+                          lf_levels=(0, 0, 0, 0)) -> PutBits:
+    """Inter frame header payload matching parse_frame_hdr's inter branch
+    (reference obu.c:308-1152). skip_mode_allowed must be the value the
+    parser will derive (it depends on ref-slot POCs the writer can't see)."""
+    from dav1d_tpu.bitstream.headers import WarpedMotionParams
+    pb = PutBits()
+    pb.put_bit(0)                     # show_existing_frame
+    pb.put_bits(1, 2)                 # frame_type = INTER
+    pb.put_bit(1)                     # show_frame
+    pb.put_bit(error_resilient)
+    pb.put_bit(disable_cdf_update)
+    # allow_screen_content_tools: seq OFF -> no bit
+    pb.put_bit(0)                     # frame_size_override
+    if seq.order_hint:
+        pb.put_bits(poc & ((1 << seq.order_hint_n_bits) - 1),
+                    seq.order_hint_n_bits)
+    if not error_resilient:
+        pb.put_bits(primary_ref, 3)
+    pb.put_bits(refresh_flags, 8)
+    if error_resilient and seq.order_hint:
+        for _ in range(8):
+            pb.put_bits(0, seq.order_hint_n_bits)
+    if seq.order_hint:
+        pb.put_bit(0)                 # frame_ref_short_signaling
+    for i in range(7):
+        pb.put_bits(refidx[i], 3)
+    # read_frame_size(use_ref=0): size from seq (override=0); super_res
+    # off at seq level -> no bit
+    pb.put_bit(0)                     # have_render_size
+    pb.put_bit(hp)                    # force_integer_mv==0 for inter here
+    if subpel_filter_switchable:
+        pb.put_bit(1)
+    else:
+        pb.put_bit(0)
+        pb.put_bits(subpel_filter, 2)
+    pb.put_bit(switchable_motion_mode)
+    if not error_resilient and seq.ref_frame_mvs and seq.order_hint:
+        pb.put_bit(use_ref_frame_mvs)
+    if not disable_cdf_update:
+        pb.put_bit(0)                 # !refresh_context
+    # tiling (uniform), mirroring write_key_frame_hdr
+    pb.put_bit(1)
+    from dav1d_tpu.bitstream.obu import tile_log2
+    sbsz_log2 = 6 + seq.sb128
+    sbw = (seq.max_width + (1 << sbsz_log2) - 1) >> sbsz_log2
+    sbh = (seq.max_height + (1 << sbsz_log2) - 1) >> sbsz_log2
+    max_tw_sb = 4096 >> sbsz_log2
+    min_log2_cols = tile_log2(max_tw_sb, sbw)
+    max_log2_cols = tile_log2(1, min(sbw, 64))
+    max_log2_rows = tile_log2(1, min(sbh, 64))
+    min_log2_tiles = max(
+        tile_log2((4096 * 2304) >> (2 * sbsz_log2), sbw * sbh),
+        min_log2_cols)
+    assert tile_log2_cols >= min_log2_cols
+    for _ in range(tile_log2_cols - min_log2_cols):
+        pb.put_bit(1)
+    if tile_log2_cols < max_log2_cols:
+        pb.put_bit(0)
+    min_log2_rows = max(min_log2_tiles - tile_log2_cols, 0)
+    assert tile_log2_rows >= min_log2_rows
+    for _ in range(tile_log2_rows - min_log2_rows):
+        pb.put_bit(1)
+    if tile_log2_rows < max_log2_rows:
+        pb.put_bit(0)
+    if tile_log2_cols or tile_log2_rows:
+        pb.put_bits(0, tile_log2_cols + tile_log2_rows)
+        pb.put_bits(3, 2)
+    # quant
+    pb.put_bits(qidx, 8)
+    pb.put_bit(0)                     # ydc delta
+    pb.put_bit(0)                     # udc
+    pb.put_bit(0)                     # uac
+    pb.put_bit(qm)
+    if qm:
+        pb.put_bits(8, 4)
+        pb.put_bits(8, 4)
+    pb.put_bit(0)                     # segmentation enabled
+    all_lossless = qidx == 0
+    if qidx:
+        pb.put_bit(delta_q)
+        if delta_q:
+            pb.put_bits(0, 2)
+            pb.put_bit(delta_lf)
+            if delta_lf:
+                pb.put_bits(0, 2)
+                pb.put_bit(1)        # multi
+    if not all_lossless:
+        pb.put_bits(lf_levels[0], 6)
+        pb.put_bits(lf_levels[1], 6)
+        if lf_levels[0] or lf_levels[1]:
+            pb.put_bits(lf_levels[2], 6)
+            pb.put_bits(lf_levels[3], 6)
+        pb.put_bits(0, 3)            # sharpness
+        pb.put_bit(0)                # mode_ref_delta_enabled
+    if seq.cdef and not all_lossless:
+        raise NotImplementedError
+    if seq.restoration and not all_lossless:
+        raise NotImplementedError
+    if not all_lossless:
+        pb.put_bit(txfm_switchable)
+    pb.put_bit(switchable_comp_refs)
+    if skip_mode_allowed:
+        pb.put_bit(skip_mode)
+    if not error_resilient and seq.warped_motion:
+        pb.put_bit(warp_motion)
+    pb.put_bit(reduced_txtp)
+    if gmv is None:
+        gmv = [WarpedMotionParams() for _ in range(7)]
+    if ref_gmv is None:
+        ref_gmv = [WarpedMotionParams() for _ in range(7)]
+    _write_gmv(pb, gmv, ref_gmv, hp)
+    # film grain: seq off
+    return pb
+
+
+def _skip_mode_allowed(dec, seq, fh_like) -> int:
+    """Derive skip_mode_allowed exactly as the parser will, using the
+    generator-owned decoder's ref slots."""
+    st = dec.state
+    saved = st.frame_hdr
+    st.frame_hdr = fh_like
+    try:
+        obu_mod._derive_skip_mode(st)
+    finally:
+        st.frame_hdr = saved
+    return fh_like.skip_mode_allowed
+
+
+def generate_stream(width, height, *, n_frames=4, qidx=100, seed=0,
+                    sb128=0, uniform_mix=0.35, hp=1,
+                    switchable_comp_refs=1, ref_frame_mvs=0,
+                    use_ref_frame_mvs=0, jnt_comp=0, inter_intra=0,
+                    masked_compound=0, warped_motion=0, dual_filter=0,
+                    switchable_motion_mode=0, allow_skip_mode=0,
+                    order_hints=None, refidx_fn=None, refresh_fn=None,
+                    gmv_types=None, txfm_switchable=1, reduced_txtp=0,
+                    disable_cdf_update=0, tile_log2_cols=0,
+                    tile_log2_rows=0, force_skip=None, filter_intra=1,
+                    primary_ref=0, subpel_filter_switchable=1,
+                    subpel_filter=0, delta_q=0, delta_lf=0, hbd=0):
+    """Key frame + (n_frames-1) inter frames, generated by driving OUR
+    decoder's own frame pipeline with a GenCoder (so generator ref/CDF
+    state == decoder state by construction).
+
+    order_hints: optional list of POCs (default 0..n-1).
+    refidx_fn(fi) -> 7-tuple; refresh_fn(fi) -> refresh mask.
+    gmv_types: optional fn(fi, rng) -> list of 7 WarpedMotionType.
+    Returns (ivf_bytes, list[(seq, fh, FramePlan)])."""
+    import numpy as _np
+    from dav1d_tpu.bitstream.headers import (FrameHeader,
+                                             WarpedMotionParams)
+    from dav1d_tpu.decoder import ObuStreamDecoder
+
+    seq_obu = write_seq_hdr(
+        width, height, sb128=sb128, order_hint=1, jnt_comp=jnt_comp,
+        ref_frame_mvs=ref_frame_mvs, inter_intra=inter_intra,
+        masked_compound=masked_compound, warped_motion=warped_motion,
+        dual_filter=dual_filter, filter_intra=filter_intra, hbd=hbd)
+    seq = obu_mod.parse_sequence_header_standalone(seq_obu)
+
+    dec = ObuStreamDecoder(do_recon=False)
+    dec.state.seq_hdr = seq
+
+    out = io.BytesIO()
+    w = ivf.IvfWriter(out, width, height)
+    results = []
+    for fi in range(n_frames):
+        poc = fi if order_hints is None else order_hints[fi]
+        rng = _np.random.default_rng(seed * 77 + fi)
+        if fi == 0:
+            fh_pb = write_key_frame_hdr(
+                seq, qidx=qidx, disable_cdf_update=disable_cdf_update,
+                txfm_switchable=txfm_switchable,
+                reduced_txtp=reduced_txtp,
+                tile_log2_cols=tile_log2_cols,
+                tile_log2_rows=tile_log2_rows,
+                delta_q=delta_q, delta_lf=delta_lf)
+        else:
+            refidx = refidx_fn(fi) if refidx_fn else (0,) * 7
+            refresh = refresh_fn(fi) if refresh_fn else 0x02
+            # probe skip-mode allowance with a throwaway header
+            probe = FrameHeader()
+            probe.frame_type = 1
+            probe.frame_offset = poc
+            probe.switchable_comp_refs = switchable_comp_refs
+            probe.refidx = list(refidx)
+            sm_allowed = _skip_mode_allowed(dec, seq, probe)
+            gmv = None
+            ref_gmv = None
+            if gmv_types is not None:
+                gmv = make_gmv(rng, gmv_types(fi, rng), hp=hp)
+                if primary_ref != 7:
+                    ref_hdr = dec.state.refs[refidx[primary_ref]].frame_hdr
+                    ref_gmv = ref_hdr.gmv if ref_hdr is not None and \
+                        ref_hdr.gmv else None
+            fh_pb = write_inter_frame_hdr(
+                seq, poc=poc, refidx=refidx, qidx=qidx,
+                primary_ref=primary_ref, refresh_flags=refresh, hp=hp,
+                disable_cdf_update=disable_cdf_update,
+                txfm_switchable=txfm_switchable,
+                reduced_txtp=reduced_txtp,
+                subpel_filter_switchable=subpel_filter_switchable,
+                subpel_filter=subpel_filter,
+                switchable_comp_refs=switchable_comp_refs,
+                switchable_motion_mode=switchable_motion_mode,
+                use_ref_frame_mvs=use_ref_frame_mvs,
+                skip_mode_allowed=sm_allowed,
+                skip_mode=allow_skip_mode and sm_allowed,
+                warp_motion=warped_motion, gmv=gmv, ref_gmv=ref_gmv,
+                tile_log2_cols=tile_log2_cols,
+                tile_log2_rows=tile_log2_rows,
+                delta_q=delta_q, delta_lf=delta_lf)
+        fh_pb.trailing_bits()
+        fh_payload = fh_pb.data()
+
+        st = dec.state
+        st.frame_hdr = FrameHeader()
+        gb = GetBits(fh_payload)
+        obu_mod.parse_frame_hdr(st, gb)
+        fh = st.frame_hdr
+
+        def factory(tile_idx, cdf, _fi=fi):
+            c = GenCoder(seed * 1000 + _fi * 100 + tile_idx,
+                         uniform_mix=uniform_mix,
+                         disable_cdf_update=disable_cdf_update)
+            if force_skip is not None:
+                c.force[id(cdf.m.skip)] = force_skip
+            return c
+
+        plan = dec._decode_frame(coder_factory=factory)
+        payloads = dec.last_tile_payloads
+        results.append((seq, fh, plan))
+
+        tg = PutBits()
+        n_tiles = fh.tiling.cols * fh.tiling.rows
+        if n_tiles > 1:
+            tg.put_bit(0)    # tile_start_and_end_present
+        tg.bytealign()
+        body = tg.data()
+        for i, pay in enumerate(payloads):
+            if i < n_tiles - 1:
+                body += (len(pay) - 1).to_bytes(4, "little") + pay
+            else:
+                body += pay
+        frame_data = (seq_obu if fi == 0 else b"") + \
+            wrap_obu(ObuType.FRAME_HDR, fh_payload) + \
+            wrap_obu(ObuType.TILE_GRP, body)
+        w.write_frame(frame_data)
     w.finalize()
     return out.getvalue(), results
