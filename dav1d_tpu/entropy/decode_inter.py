@@ -329,9 +329,14 @@ class InterParserMixin:
             b.inter_mode = lv.NEARESTMV_NEARESTMV
             b.drl_idx = 0
             has_subpel_filter = 0
-            mvstack, _n, _ = rmv.refmvs_find(
+            mvstack, _n, _ctx = rmv.refmvs_find(
                 self.rt, (b.ref[0] + 1, b.ref[1] + 1), bs, edge_flags,
                 self.by, self.bx)
+            if self.dbg:
+                print(f"Refmvs[n={_n},ctx={_ctx}" + "".join(
+                    f",({m['mv'][0][0]},{m['mv'][0][1]}|"
+                    f"{m['mv'][1][0]},{m['mv'][1][1]})"
+                    for m in mvstack[:min(_n, 4)]) + f"]: r={msac.rng}")
             mv0 = fix_mv_precision(fh, *mvstack[0]["mv"][0])
             mv1 = fix_mv_precision(fh, *mvstack[0]["mv"][1])
             b.mv = (mv0, mv1)

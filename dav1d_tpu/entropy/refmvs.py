@@ -252,7 +252,9 @@ class RefMvsFrame:
         row_end8 = min(row_end8, self.ih8)
         col_end8 = min(col_end8, self.iw8)
         for y in range(row_start8, row_end8):
-            by4 = y * 2
+            # rr passed as rt->r + 6 vs splat base +5: samples the ODD
+            # spatial row by4 = y*2 + 1 (reference refmvs.h:156, 771)
+            by4 = y * 2 + 1
             x = col_start8
             while x < col_end8:
                 bx4 = x * 2 + 1
@@ -264,10 +266,12 @@ class RefMvsFrame:
                               int(self.r_mv[by4, bx4, 1, 1]))
                 mv0y, mv0x = (int(self.r_mv[by4, bx4, 0, 0]),
                               int(self.r_mv[by4, bx4, 0, 1]))
-                if ref1 > 0 and self.sign_bias[ref1 - 1] and \
+                # ref_sign = mfmv_sign (PAST refs; reference
+                # refmvs.h:154), not sign_bias
+                if ref1 > 0 and self.mfmv_sign[ref1 - 1] and \
                         (abs(mv1y) | abs(mv1x)) < 4096:
                     tmv = (mv1y, mv1x, ref1)
-                elif ref0 > 0 and self.sign_bias[ref0 - 1] and \
+                elif ref0 > 0 and self.mfmv_sign[ref0 - 1] and \
                         (abs(mv0y) | abs(mv0x)) < 4096:
                     tmv = (mv0y, mv0x, ref0)
                 else:
@@ -508,23 +512,13 @@ def refmvs_find(rt: RefMvsTile, ref, bs, edge_flags, by4, bx4):
                                             bx8 + bw8, ref, None, tgmv)
     globalmv_ctx = globalmv_ctx_holder[0]
 
-    # top/left corner
-    dummy = [0, 0]
-    if n_rows is not None or n_cols is not None:
-        # b_top[-1]: requires the top row (by4-1); the reference only
-        # evaluates this when at least one scan happened, and b_top was
-        # set whenever n_rows ran; for n_cols-only the C reads
-        # uninitialized b_top? No: (n_rows | n_cols) != ~0 means at
-        # least one of them ran; b_top is only valid if n_rows ran —
-        # but the reference uses b_top unconditionally here; in
-        # practice n_cols-only implies by4 == row_start so b_top would
-        # be out of tile. Mirror the reference: only add when the top
-        # row exists.
-        if n_rows is not None:
-            fr = [0, flags_row[1]]
-            _add_spatial_candidate(mvstack, 4, rf, by4 - 1, bx4 - 1, ref,
-                                   gmv, fr)
-            flags_row[1] = fr[1]
+    # top/left corner: (n_rows | n_cols) != ~0U in the reference — OR
+    # with ~0 saturates, so BOTH scans must have run (refmvs.c:457-461)
+    if n_rows is not None and n_cols is not None:
+        fr = [0, flags_row[1]]
+        _add_spatial_candidate(mvstack, 4, rf, by4 - 1, bx4 - 1, ref,
+                               gmv, fr)
+        flags_row[1] = fr[1]
 
     # secondary rows/cols
     for n in (2, 3):
@@ -586,10 +580,6 @@ def refmvs_find(rt: RefMvsTile, ref, bs, edge_flags, by4, bx4):
             def add_compound_ext(by_c, bx_c):
                 bref = rf.r_ref[by_c, bx_c]
                 bmv = rf.r_mv[by_c, bx_c]
-                import os
-                if os.environ.get("RMVDBG"):
-                    print(f"CEXT by={by_c} bx={bx_c} ref={list(bref)} "
-                          f"mv={bmv.tolist()} ref01={ref}")
                 for n in range(2):
                     cand_ref = int(bref[n])
                     if cand_ref <= 0:

@@ -24,6 +24,20 @@ from dav1d_tpu.decoder import ObuStreamDecoder
 ORACLE = "/root/repo/oracle-build/dav1d"
 BLK = "/tmp/dav1d_blk"
 
+def _pyr_refidx(fi):
+    m = {1: (0,) * 7, 2: (0, 0, 0, 0, 1, 1, 1), 3: (0, 0, 0, 0, 2, 2, 1),
+         4: (2, 2, 2, 2, 3, 3, 1), 5: (3, 2, 0, 4, 1, 1, 4)}
+    return m[min(fi, 5)]
+
+
+# backward-ref pyramid: distinct POCs in every slot, fwd+bwd refs
+PYR = dict(order_hints=[0, 8, 4, 2, 6, 5], refidx_fn=_pyr_refidx,
+           refresh_fn=lambda fi: 1 << fi)
+# all coding tools on
+EVERYTHING = dict(warped_motion=1, switchable_motion_mode=1, jnt_comp=1,
+                  inter_intra=1, masked_compound=1, dual_filter=1,
+                  ref_frame_mvs=1, use_ref_frame_mvs=1, allow_skip_mode=1)
+
 CONFIGS = [
     dict(w=64, h=64, seed=2, n_frames=6),
     dict(w=128, h=96, seed=3, n_frames=4),
@@ -34,6 +48,30 @@ CONFIGS = [
     dict(w=70, h=50, seed=8, n_frames=4),
     dict(w=64, h=64, seed=9, n_frames=4, qidx=250),
     dict(w=320, h=180, seed=10, n_frames=3),
+    # multi-POC ref structures + coding tools
+    dict(w=96, h=96, seed=20, n_frames=8,
+         refidx_fn=lambda fi: tuple(max(0, fi - 1 - i) % 8 for i in range(7)),
+         refresh_fn=lambda fi: 1 << (fi % 8)),
+    dict(w=96, h=96, seed=21, n_frames=5, **PYR),
+    dict(w=96, h=96, seed=22, n_frames=5, allow_skip_mode=1, **PYR),
+    dict(w=96, h=96, seed=23, n_frames=5, ref_frame_mvs=1,
+         use_ref_frame_mvs=1, **PYR),
+    dict(w=96, h=96, seed=24, n_frames=5, jnt_comp=1, **PYR),
+    dict(w=96, h=96, seed=25, n_frames=5, inter_intra=1, **PYR),
+    dict(w=96, h=96, seed=26, n_frames=5, dual_filter=1, **PYR),
+    dict(w=96, h=96, seed=27, n_frames=5, masked_compound=1, inter_intra=1,
+         jnt_comp=1, **PYR),
+    dict(w=96, h=96, seed=40, n_frames=5, switchable_motion_mode=1, **PYR),
+    dict(w=96, h=96, seed=41, n_frames=5, warped_motion=1,
+         switchable_motion_mode=1, **PYR),
+    dict(w=96, h=96, seed=42, n_frames=4, warped_motion=1,
+         gmv_types=lambda fi, rng: [2, 0, 1, 0, 3, 0, 0]),
+    dict(w=128, h=128, seed=44, n_frames=6,
+         gmv_types=lambda fi, rng: [0, 2, 0, 1, 0, 3, 0],
+         **EVERYTHING, **PYR),
+    dict(w=128, h=128, seed=45, n_frames=5, sb128=1, **EVERYTHING, **PYR),
+    dict(w=128, h=128, seed=46, n_frames=4, tile_log2_cols=1,
+         tile_log2_rows=1, ref_frame_mvs=1, use_ref_frame_mvs=1, **PYR),
 ]
 
 IDS = [f"{c['w']}x{c['h']}-s{c['seed']}" for c in CONFIGS]
