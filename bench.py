@@ -2,11 +2,11 @@
 """Decode benchmark. Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Current scope (round 1): intra-only decode fps on a synthesized 8-bit
-4:2:0 stream (milestone config 1 of BASELINE.json). Stage A runs in
-Python (the C++ port is the next perf milestone); the itx residuals run
-on the TPU via the JAX kernels. vs_baseline is fps / 60 (the 60fps
-real-time target at this resolution class).
+Current scope (round 1): full decode fps (key + inter frames, all
+coding tools in the parse/recon path) on a synthesized 8-bit 4:2:0
+stream. Stage A runs in Python (the C++ port is the next perf
+milestone); vs_baseline is fps / 60 (the 60fps real-time target at
+this resolution class).
 """
 import json
 import os
@@ -15,12 +15,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-W, H, N_FRAMES, SEED, QIDX = 640, 360, 4, 7, 100
-CACHE = f"/tmp/dav1d_tpu_bench_{W}x{H}_{SEED}.ivf"
+W, H, N_FRAMES, SEED, QIDX = 640, 360, 8, 7, 100
+CACHE = f"/tmp/dav1d_tpu_bench_inter_{W}x{H}_{SEED}.ivf"
 
 
 def main():
-    from tools.streamgen.gen import generate_intra_stream
+    from tools.streamgen.gen import generate_stream
     from dav1d_tpu.bitstream.ivf import IvfReader
     from dav1d_tpu.decoder import ObuStreamDecoder
     from dav1d_tpu.utils.muxers import Md5Muxer
@@ -28,8 +28,8 @@ def main():
     if os.path.exists(CACHE):
         data = open(CACHE, "rb").read()
     else:
-        data, _ = generate_intra_stream(W, H, qidx=QIDX, seed=SEED,
-                                        n_frames=N_FRAMES)
+        data, _ = generate_stream(W, H, qidx=QIDX, seed=SEED,
+                                  n_frames=N_FRAMES)
         with open(CACHE, "wb") as f:
             f.write(data)
 
@@ -49,7 +49,7 @@ def main():
     dt = time.perf_counter() - t0
     fps = n / dt
     print(json.dumps({
-        "metric": f"intra_{W}x{H}_decode_fps",
+        "metric": f"decode_{W}x{H}_fps",
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 60.0, 4),

@@ -92,6 +92,8 @@ class Block:
     max_ytx: int = 0
     tx_split: tuple = (0, 0)
     warpmv: object = None
+    coef_start: int = 0
+    coef_end: int = 0
 
 
 class FrameContext:
@@ -168,6 +170,7 @@ class FramePlan:
     b4_ymode: np.ndarray = None
     b4_uvmode: np.ndarray = None
     b4_seg: np.ndarray = None
+    b4_filter: np.ndarray = None    # (2, bh, bw) h/v filter per 4x4
     cdef_idx: np.ndarray = None     # per 64x64
 
     def __post_init__(self):
@@ -178,6 +181,7 @@ class FramePlan:
         self.b4_ymode = np.zeros((f.bh, f.bw), np.uint8)
         self.b4_uvmode = np.zeros((f.bh, f.bw), np.uint8)
         self.b4_seg = np.zeros((f.bh, f.bw), np.uint8)
+        self.b4_filter = np.full((2, f.bh, f.bw), 4, np.uint8)  # 4 = N_SWITCHABLE
         self.cdef_idx = np.full(((f.bh + 15) >> 4, (f.bw + 15) >> 4), -1,
                                 np.int8)
 
@@ -435,6 +439,7 @@ class TileParser(InterParserMixin):
         cdf = self.cdf
         b = Block(bx=self.bx, by=self.by, bs=bs, bl=bl, bp=bp,
                   edge_flags=edge_flags)
+        b.coef_start = len(self.plan.coefs)   # coef range for recon
         b_dim = lv.block_dimensions[bs]
         bx4 = self.bx
         by4 = self.by & 31
@@ -530,6 +535,7 @@ class TileParser(InterParserMixin):
                                  have_top, have_left, has_chroma, seg,
                                  seg_pred, edge_flags)
 
+        b.coef_end = len(self.plan.coefs)
         self.plan.blocks.append(b)
 
     # ------------------------------------------------------------------

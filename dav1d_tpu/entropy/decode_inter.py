@@ -690,6 +690,10 @@ class InterParserMixin:
         a.comp_type[bx4:bx4 + bw4] = b.comp_type
         a.filter[0][bx4:bx4 + bw4] = filt[0]
         a.filter[1][bx4:bx4 + bw4] = filt[1]
+        self.plan.b4_filter[0, self.by:self.by + bh4,
+                            self.bx:self.bx + bw4] = filt[0]
+        self.plan.b4_filter[1, self.by:self.by + bh4,
+                            self.bx:self.bx + bw4] = filt[1]
         a.mode[bx4:bx4 + bw4] = b.inter_mode
         a.ref[0][bx4:bx4 + bw4] = b.ref[0]
         a.ref[1][bx4:bx4 + bw4] = b.ref[1]
