@@ -280,6 +280,8 @@ class ObuStreamDecoder:
             else:
                 from .recon.inter_ref import reconstruct_inter_frame
                 pic = reconstruct_inter_frame(plan, refp)
+            from .ops.lf_ref import apply_deblock
+            apply_deblock(pic, plan)
 
         # slot refresh (reference decode.c:3669-3695)
         final_cdf = out_cdf if fh.refresh_context else in_cdf

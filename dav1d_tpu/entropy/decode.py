@@ -94,6 +94,7 @@ class Block:
     warpmv: object = None
     coef_start: int = 0
     coef_end: int = 0
+    lf_lvl: tuple = None      # (y_v, y_h, u, v) filter levels at parse
 
 
 class FrameContext:
@@ -535,8 +536,47 @@ class TileParser(InterParserMixin):
                                  have_top, have_left, has_chroma, seg,
                                  seg_pred, edge_flags)
 
+        lf = fh.loopfilter
+        if lf.level_y[0] or lf.level_y[1]:
+            b.lf_lvl = self._calc_lf_lvl(b, fh)
         b.coef_end = len(self.plan.coefs)
         self.plan.blocks.append(b)
+
+    # ------------------------------------------------------------------
+    def _calc_lf_lvl(self, b, fh):
+        """Per-block filter levels (reference lf_mask.c:404-460
+        calc_lf_value + decode.c:1884-1887 ref/mode selection)."""
+        lf = fh.loopfilter
+        dlf = self.last_delta_lf
+        segd = (fh.segmentation.seg_data.d[b.seg_id]
+                if fh.segmentation.enabled else None)
+        if b.intra:
+            r, m = 0, 0
+        else:
+            is_gmv = b.inter_mode == (
+                lv.GLOBALMV_GLOBALMV if b.comp_type else lv.GLOBALMV)
+            r, m = b.ref[0] + 1, int(not is_gmv)
+        mrd = lf.mode_ref_deltas if lf.mode_ref_delta_enabled else None
+        out = []
+        for i in range(4):
+            base_lvl = (lf.level_y[0], lf.level_y[1],
+                        lf.level_u, lf.level_v)[i]
+            if i >= 2 and not base_lvl:
+                out.append(0)
+                continue
+            lfd = dlf[i if fh.delta.lf_multi else 0]
+            seg_delta = 0
+            if segd is not None:
+                seg_delta = (segd.delta_lf_y_v, segd.delta_lf_y_h,
+                             segd.delta_lf_u, segd.delta_lf_v)[i]
+            base = iclip(iclip(base_lvl + lfd, 0, 63) + seg_delta, 0, 63)
+            if mrd is None:
+                out.append(base)
+            else:
+                sh = int(base >= 32)
+                delta = mrd.ref_delta[r] + (mrd.mode_delta[m] if r else 0)
+                out.append(iclip(base + delta * (1 << sh), 0, 63))
+        return tuple(out)
 
     # ------------------------------------------------------------------
     def _read_seg_id(self, bx4, by4, w4, h4, have_top, have_left, skip):

@@ -192,7 +192,8 @@ def write_seq_hdr(width: int, height: int, *, sb128=0, filter_intra=1,
 def write_key_frame_hdr(seq, *, qidx=100, disable_cdf_update=0,
                         txfm_switchable=1, reduced_txtp=0, qm=0,
                         lf_levels=(0, 0, 0, 0), lf_sharpness=0,
-                        cdef_params=None, write_render_size=0,
+                        mode_ref_delta=0, cdef_params=None,
+                        write_render_size=0,
                         tile_log2_cols=0, tile_log2_rows=0,
                         delta_q=0, delta_lf=0) -> PutBits:
     """Key-frame header payload (no OBU wrap), matching parse_frame_hdr.
@@ -267,7 +268,9 @@ def write_key_frame_hdr(seq, *, qidx=100, disable_cdf_update=0,
             pb.put_bits(lf_levels[2], 6)
             pb.put_bits(lf_levels[3], 6)
         pb.put_bits(lf_sharpness, 3)
-        pb.put_bit(0)        # mode_ref_delta_enabled
+        pb.put_bit(mode_ref_delta)   # mode_ref_delta_enabled
+        if mode_ref_delta:
+            pb.put_bit(0)            # no update (defaults / primary-ref)
     # cdef (only when not lossless)
     if seq.cdef and not all_lossless:
         damping, n_bits, ys, uvs = cdef_params or (0, 0, [0], [0])
@@ -292,7 +295,8 @@ def generate_intra_stream(width, height, *, qidx=100, seed=0, sb128=0,
                           qm=0, txfm_switchable=1, reduced_txtp=0,
                           disable_cdf_update=0, tile_log2_cols=0,
                           tile_log2_rows=0, delta_q=0, delta_lf=0,
-                          hbd=0, force_skip=None):
+                          hbd=0, force_skip=None, lf_levels=(0, 0, 0, 0),
+                          lf_sharpness=0, mode_ref_delta=0):
     """Returns (ivf_bytes, list[(seq_hdr, frame_hdr, FramePlan)])."""
     seq_obu = write_seq_hdr(width, height, sb128=sb128,
                             filter_intra=filter_intra, hbd=hbd)
@@ -308,7 +312,8 @@ def generate_intra_stream(width, height, *, qidx=100, seed=0, sb128=0,
             txfm_switchable=txfm_switchable, reduced_txtp=reduced_txtp,
             qm=qm, tile_log2_cols=tile_log2_cols,
             tile_log2_rows=tile_log2_rows, delta_q=delta_q,
-            delta_lf=delta_lf)
+            delta_lf=delta_lf, lf_levels=lf_levels,
+            lf_sharpness=lf_sharpness, mode_ref_delta=mode_ref_delta)
         fh_pb.trailing_bits()
         fh_obu_payload = fh_pb.data()
 
@@ -487,7 +492,8 @@ def write_inter_frame_hdr(seq, *, poc, refidx=(0,) * 7, qidx=100,
                           ref_gmv=None, error_resilient=0,
                           tile_log2_cols=0, tile_log2_rows=0,
                           delta_q=0, delta_lf=0,
-                          lf_levels=(0, 0, 0, 0)) -> PutBits:
+                          lf_levels=(0, 0, 0, 0), lf_sharpness=0,
+                          mode_ref_delta=0) -> PutBits:
     """Inter frame header payload matching parse_frame_hdr's inter branch
     (reference obu.c:308-1152). skip_mode_allowed must be the value the
     parser will derive (it depends on ref-slot POCs the writer can't see)."""
@@ -579,8 +585,10 @@ def write_inter_frame_hdr(seq, *, poc, refidx=(0,) * 7, qidx=100,
         if lf_levels[0] or lf_levels[1]:
             pb.put_bits(lf_levels[2], 6)
             pb.put_bits(lf_levels[3], 6)
-        pb.put_bits(0, 3)            # sharpness
-        pb.put_bit(0)                # mode_ref_delta_enabled
+        pb.put_bits(lf_sharpness, 3)
+        pb.put_bit(mode_ref_delta)   # mode_ref_delta_enabled
+        if mode_ref_delta:
+            pb.put_bit(0)            # no update (inherit/defaults)
     if seq.cdef and not all_lossless:
         raise NotImplementedError
     if seq.restoration and not all_lossless:
@@ -626,7 +634,9 @@ def generate_stream(width, height, *, n_frames=4, qidx=100, seed=0,
                     disable_cdf_update=0, tile_log2_cols=0,
                     tile_log2_rows=0, force_skip=None, filter_intra=1,
                     primary_ref=0, subpel_filter_switchable=1,
-                    subpel_filter=0, delta_q=0, delta_lf=0, hbd=0):
+                    subpel_filter=0, delta_q=0, delta_lf=0, hbd=0,
+                    lf_levels=(0, 0, 0, 0), lf_sharpness=0,
+                    mode_ref_delta=0):
     """Key frame + (n_frames-1) inter frames, generated by driving OUR
     decoder's own frame pipeline with a GenCoder (so generator ref/CDF
     state == decoder state by construction).
@@ -663,7 +673,8 @@ def generate_stream(width, height, *, n_frames=4, qidx=100, seed=0,
                 reduced_txtp=reduced_txtp,
                 tile_log2_cols=tile_log2_cols,
                 tile_log2_rows=tile_log2_rows,
-                delta_q=delta_q, delta_lf=delta_lf)
+                delta_q=delta_q, delta_lf=delta_lf, lf_levels=lf_levels,
+                lf_sharpness=lf_sharpness, mode_ref_delta=mode_ref_delta)
         else:
             refidx = refidx_fn(fi) if refidx_fn else (0,) * 7
             refresh = refresh_fn(fi) if refresh_fn else 0x02
@@ -698,7 +709,8 @@ def generate_stream(width, height, *, n_frames=4, qidx=100, seed=0,
                 warp_motion=warped_motion, gmv=gmv, ref_gmv=ref_gmv,
                 tile_log2_cols=tile_log2_cols,
                 tile_log2_rows=tile_log2_rows,
-                delta_q=delta_q, delta_lf=delta_lf)
+                delta_q=delta_q, delta_lf=delta_lf, lf_levels=lf_levels,
+                lf_sharpness=lf_sharpness, mode_ref_delta=mode_ref_delta)
         fh_pb.trailing_bits()
         fh_payload = fh_pb.data()
 
