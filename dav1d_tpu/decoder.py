@@ -282,6 +282,8 @@ class ObuStreamDecoder:
                 pic = reconstruct_inter_frame(plan, refp)
             from .ops.lf_ref import apply_deblock
             apply_deblock(pic, plan)
+            from .ops.cdef_ref import apply_cdef
+            apply_cdef(pic, plan)
 
         # slot refresh (reference decode.c:3669-3695)
         final_cdf = out_cdf if fh.refresh_context else in_cdf

@@ -278,7 +278,8 @@ def write_key_frame_hdr(seq, *, qidx=100, disable_cdf_update=0,
         pb.put_bits(n_bits, 2)
         for i in range(1 << n_bits):
             pb.put_bits(ys[i], 6)
-            pb.put_bits(uvs[i], 6)
+            if not seq.monochrome:
+                pb.put_bits(uvs[i], 6)
     # restoration: seq off
     if seq.restoration and not all_lossless:
         raise NotImplementedError
@@ -296,10 +297,12 @@ def generate_intra_stream(width, height, *, qidx=100, seed=0, sb128=0,
                           disable_cdf_update=0, tile_log2_cols=0,
                           tile_log2_rows=0, delta_q=0, delta_lf=0,
                           hbd=0, force_skip=None, lf_levels=(0, 0, 0, 0),
-                          lf_sharpness=0, mode_ref_delta=0):
+                          lf_sharpness=0, mode_ref_delta=0,
+                          cdef_params=None):
     """Returns (ivf_bytes, list[(seq_hdr, frame_hdr, FramePlan)])."""
     seq_obu = write_seq_hdr(width, height, sb128=sb128,
-                            filter_intra=filter_intra, hbd=hbd)
+                            filter_intra=filter_intra, hbd=hbd,
+                            cdef=1 if cdef_params else 0)
     # parse back our own header for a single source of truth
     seq = obu_mod.parse_sequence_header_standalone(seq_obu)
 
@@ -313,7 +316,8 @@ def generate_intra_stream(width, height, *, qidx=100, seed=0, sb128=0,
             qm=qm, tile_log2_cols=tile_log2_cols,
             tile_log2_rows=tile_log2_rows, delta_q=delta_q,
             delta_lf=delta_lf, lf_levels=lf_levels,
-            lf_sharpness=lf_sharpness, mode_ref_delta=mode_ref_delta)
+            lf_sharpness=lf_sharpness, mode_ref_delta=mode_ref_delta,
+            cdef_params=cdef_params)
         fh_pb.trailing_bits()
         fh_obu_payload = fh_pb.data()
 
@@ -493,7 +497,7 @@ def write_inter_frame_hdr(seq, *, poc, refidx=(0,) * 7, qidx=100,
                           tile_log2_cols=0, tile_log2_rows=0,
                           delta_q=0, delta_lf=0,
                           lf_levels=(0, 0, 0, 0), lf_sharpness=0,
-                          mode_ref_delta=0) -> PutBits:
+                          mode_ref_delta=0, cdef_params=None) -> PutBits:
     """Inter frame header payload matching parse_frame_hdr's inter branch
     (reference obu.c:308-1152). skip_mode_allowed must be the value the
     parser will derive (it depends on ref-slot POCs the writer can't see)."""
@@ -590,7 +594,12 @@ def write_inter_frame_hdr(seq, *, poc, refidx=(0,) * 7, qidx=100,
         if mode_ref_delta:
             pb.put_bit(0)            # no update (inherit/defaults)
     if seq.cdef and not all_lossless:
-        raise NotImplementedError
+        damping, n_bits, ys, uvs = cdef_params or (0, 0, [0], [0])
+        pb.put_bits(damping, 2)
+        pb.put_bits(n_bits, 2)
+        for i in range(1 << n_bits):
+            pb.put_bits(ys[i], 6)
+            pb.put_bits(uvs[i], 6)
     if seq.restoration and not all_lossless:
         raise NotImplementedError
     if not all_lossless:
@@ -636,7 +645,7 @@ def generate_stream(width, height, *, n_frames=4, qidx=100, seed=0,
                     primary_ref=0, subpel_filter_switchable=1,
                     subpel_filter=0, delta_q=0, delta_lf=0, hbd=0,
                     lf_levels=(0, 0, 0, 0), lf_sharpness=0,
-                    mode_ref_delta=0):
+                    mode_ref_delta=0, cdef_params=None):
     """Key frame + (n_frames-1) inter frames, generated by driving OUR
     decoder's own frame pipeline with a GenCoder (so generator ref/CDF
     state == decoder state by construction).
@@ -654,7 +663,8 @@ def generate_stream(width, height, *, n_frames=4, qidx=100, seed=0,
         width, height, sb128=sb128, order_hint=1, jnt_comp=jnt_comp,
         ref_frame_mvs=ref_frame_mvs, inter_intra=inter_intra,
         masked_compound=masked_compound, warped_motion=warped_motion,
-        dual_filter=dual_filter, filter_intra=filter_intra, hbd=hbd)
+        dual_filter=dual_filter, filter_intra=filter_intra, hbd=hbd,
+        cdef=1 if cdef_params else 0)
     seq = obu_mod.parse_sequence_header_standalone(seq_obu)
 
     dec = ObuStreamDecoder(do_recon=False)
@@ -674,7 +684,8 @@ def generate_stream(width, height, *, n_frames=4, qidx=100, seed=0,
                 tile_log2_cols=tile_log2_cols,
                 tile_log2_rows=tile_log2_rows,
                 delta_q=delta_q, delta_lf=delta_lf, lf_levels=lf_levels,
-                lf_sharpness=lf_sharpness, mode_ref_delta=mode_ref_delta)
+                lf_sharpness=lf_sharpness, mode_ref_delta=mode_ref_delta,
+                cdef_params=cdef_params)
         else:
             refidx = refidx_fn(fi) if refidx_fn else (0,) * 7
             refresh = refresh_fn(fi) if refresh_fn else 0x02
@@ -710,7 +721,8 @@ def generate_stream(width, height, *, n_frames=4, qidx=100, seed=0,
                 tile_log2_cols=tile_log2_cols,
                 tile_log2_rows=tile_log2_rows,
                 delta_q=delta_q, delta_lf=delta_lf, lf_levels=lf_levels,
-                lf_sharpness=lf_sharpness, mode_ref_delta=mode_ref_delta)
+                lf_sharpness=lf_sharpness, mode_ref_delta=mode_ref_delta,
+                cdef_params=cdef_params)
         fh_pb.trailing_bits()
         fh_payload = fh_pb.data()
 
