@@ -143,7 +143,13 @@ class ObuStreamDecoder:
         # key frames shown via show_existing reset state like a shown key
         if slot.frame_hdr is not None and slot.frame_hdr.frame_type == 0:
             self._refresh_slots_for_key_show_existing(slot)
-        return (None, slot.pic)
+        out_pic = slot.pic
+        if slot.frame_hdr is not None and \
+                slot.frame_hdr.film_grain_present:
+            from .ops.fg_ref import apply_film_grain
+            out_pic = apply_film_grain(slot.pic, slot.frame_hdr,
+                                       self.state.seq_hdr)
+        return (None, out_pic)
 
     def _refresh_slots_for_key_show_existing(self, slot):
         """reference obu.c:1593-1617: showing an existing KEY frame
@@ -282,8 +288,14 @@ class ObuStreamDecoder:
                 pic = reconstruct_inter_frame(plan, refp)
             from .ops.lf_ref import apply_deblock
             apply_deblock(pic, plan)
+            need_lr = any(t != 0 for t in fh.restoration.type)
+            pre_cdef = [pl.astype("int32") for pl in pic.planes] \
+                if need_lr else None
             from .ops.cdef_ref import apply_cdef
             apply_cdef(pic, plan)
+            if need_lr:
+                from .ops.restore_ref import apply_lr
+                apply_lr(pic, pre_cdef, plan)
 
         # slot refresh (reference decode.c:3669-3695)
         final_cdf = out_cdf if fh.refresh_context else in_cdf
@@ -298,5 +310,10 @@ class ObuStreamDecoder:
         self.tile_groups = []
         self.n_tiles = 0
         if self.do_recon:
-            return (plan, pic)
+            out_pic = pic
+            if pic is not None and fh.film_grain_present:
+                # grain is out-of-loop: output copy only, refs stay clean
+                from .ops.fg_ref import apply_film_grain
+                out_pic = apply_film_grain(pic, fh, seq)
+            return (plan, out_pic)
         return plan

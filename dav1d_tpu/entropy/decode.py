@@ -173,6 +173,7 @@ class FramePlan:
     b4_seg: np.ndarray = None
     b4_filter: np.ndarray = None    # (2, bh, bw) h/v filter per 4x4
     cdef_idx: np.ndarray = None     # per 64x64
+    lr_units: list = None           # [plane][y64][x64] -> unit dict
 
     def __post_init__(self):
         f = self.f
@@ -185,6 +186,9 @@ class FramePlan:
         self.b4_filter = np.full((2, f.bh, f.bw), 4, np.uint8)  # 4 = N_SWITCHABLE
         self.cdef_idx = np.full(((f.bh + 15) >> 4, (f.bw + 15) >> 4), -1,
                                 np.int8)
+        n64h, n64w = (f.bh + 15) >> 4, (f.bw + 15) >> 4
+        self.lr_units = [[[None] * n64w for _ in range(n64h)]
+                         for _ in range(3)]
 
 
 class TileParser(InterParserMixin):
@@ -252,6 +256,10 @@ class TileParser(InterParserMixin):
         f = self.f
         root_bl = lv.BL_128X128 if f.sb128 else lv.BL_64X64
         root_node = INTRA_EDGE_TREE[0 if f.sb128 else 1]
+        # per-tile LR prediction refs (reference decode.c:2483-2503)
+        self.lr_ref = [dict(type=0, filter_v=[3, -7, 15],
+                            filter_h=[3, -7, 15], sgr_weights=[-32, 31])
+                       for _ in range(3)]
         for by in range(self.row_start, self.row_end, f.sb_step):
             self.by = by
             self.l.reset(f.key_or_intra)
@@ -260,9 +268,91 @@ class TileParser(InterParserMixin):
                 # cdef idx storage for this sb (reference decode.c:2649-2661)
                 sb64y, sb64x = by >> 4, bx >> 4
                 self.cur_sb_cdef_idx = (sb64y, sb64x)
+                self._read_lr_units()
                 self.decode_sb(root_bl, root_node)
             if self.msac.cnt <= -15:
                 raise ValueError("msac overread at end of sbrow")
+
+    # -- loop restoration units (reference decode.c:2662-2714) ----------
+    def _read_lr_units(self):
+        f = self.f
+        fh = f.frame_hdr
+        rst = fh.restoration
+        if fh.width[0] != fh.width[1]:
+            raise NotImplementedError("LR with super-res")
+        for p in range(3):
+            if rst.type[p] == 0:        # RESTORATION_NONE
+                continue
+            ss_ver = 1 if (p and f.layout == PixelLayout.I420) else 0
+            ss_hor = 1 if (p and f.layout != PixelLayout.I444) else 0
+            unit_size_log2 = rst.unit_size[1 if p else 0]
+            y = self.by * 4 >> ss_ver
+            h = (fh.height + ss_ver) >> ss_ver
+            unit_size = 1 << unit_size_log2
+            mask = unit_size - 1
+            if y & mask:
+                continue
+            half_unit = unit_size >> 1
+            if y and y + half_unit > h:
+                continue
+            x = 4 * self.bx >> ss_hor
+            if x & mask:
+                continue
+            w = (fh.width[0] + ss_hor) >> ss_hor
+            if x and x + half_unit > w:
+                continue
+            self._read_restoration_info(p, rst.type[p])
+
+    def _read_restoration_info(self, p, frame_type):
+        """reference decode.c:2511-2576."""
+        from .. import tables
+        msac = self.msac
+        cdf = self.cdf
+        ref = self.lr_ref[p]
+        lr = dict(type=0, filter_v=[0, 0, 0], filter_h=[0, 0, 0],
+                  sgr_weights=[0, 0])
+        # types: 0=NONE 1=SWITCHABLE 2=WIENER 3+=SGRPROJ+idx
+        RESTORATION_WIENER, RESTORATION_SGRPROJ = 2, 3
+        if frame_type == 1:             # SWITCHABLE
+            flt = msac.decode_symbol_adapt(cdf.m.restore_switchable, 2)
+            lr["type"] = flt + (1 if flt else 0)
+        else:
+            typ = msac.decode_bool_adapt(
+                cdf.m.restore_wiener if frame_type == RESTORATION_WIENER
+                else cdf.m.restore_sgrproj)
+            lr["type"] = frame_type if typ else 0
+        if lr["type"] == RESTORATION_WIENER:
+            lr["filter_v"][0] = 0 if p else                 msac.decode_subexp(ref["filter_v"][0] + 5, 16, 1) - 5
+            lr["filter_v"][1] =                 msac.decode_subexp(ref["filter_v"][1] + 23, 32, 2) - 23
+            lr["filter_v"][2] =                 msac.decode_subexp(ref["filter_v"][2] + 17, 64, 3) - 17
+            lr["filter_h"][0] = 0 if p else                 msac.decode_subexp(ref["filter_h"][0] + 5, 16, 1) - 5
+            lr["filter_h"][1] =                 msac.decode_subexp(ref["filter_h"][1] + 23, 32, 2) - 23
+            lr["filter_h"][2] =                 msac.decode_subexp(ref["filter_h"][2] + 17, 64, 3) - 17
+            lr["sgr_weights"] = list(ref["sgr_weights"])
+            self.lr_ref[p] = lr
+            if self.dbg:
+                print(f"Post-lr_wiener[pl={p},v[{lr['filter_v'][0]},"
+                      f"{lr['filter_v'][1]},{lr['filter_v'][2]}],"
+                      f"h[{lr['filter_h'][0]},{lr['filter_h'][1]},"
+                      f"{lr['filter_h'][2]}]]: r={msac.rng}")
+        elif lr["type"] == RESTORATION_SGRPROJ:
+            idx = msac.decode_bools(4)
+            sgr_params = tables.get("dav1d_sgr_params")[idx]
+            lr["type"] += idx
+            lr["sgr_weights"][0] = (
+                msac.decode_subexp(ref["sgr_weights"][0] + 96, 128, 4) - 96
+                if sgr_params[0] else 0)
+            lr["sgr_weights"][1] = (
+                msac.decode_subexp(ref["sgr_weights"][1] + 32, 128, 4) - 32
+                if sgr_params[1] else 95)
+            lr["filter_v"] = list(ref["filter_v"])
+            lr["filter_h"] = list(ref["filter_h"])
+            self.lr_ref[p] = lr
+            if self.dbg:
+                print(f"Post-lr_sgrproj[pl={p},idx={idx},"
+                      f"w[{lr['sgr_weights'][0]},{lr['sgr_weights'][1]}]]:"
+                      f" r={msac.rng}")
+        self.plan.lr_units[p][self.by >> 4][self.bx >> 4] = lr
 
     # -- partition walk -------------------------------------------------
     def decode_sb(self, bl: int, node) -> None:

@@ -105,6 +105,18 @@ class GenCoder:
         self.enc.encode_uniform(val, n)
         return val
 
+    def decode_subexp(self, ref: int, n: int, k: int) -> int:
+        assert n >> k == 8
+        a = 0
+        if self.decode_bool_equi():
+            if self.decode_bool_equi():
+                k += self.decode_bool_equi() + 1
+            a = 1 << k
+        v = self.decode_bools(k) + a
+        from dav1d_tpu.bitstream.getbits import inv_recenter
+        return (inv_recenter(ref, v) if ref * 2 <= n
+                else n - 1 - inv_recenter(n - 1 - ref, v))
+
     def decode_hi_tok(self, cdf) -> int:
         # mirror MsacDecoder.decode_hi_tok's chunking
         tok_br = self.decode_symbol_adapt(cdf, 3)
@@ -129,7 +141,7 @@ def write_seq_hdr(width: int, height: int, *, sb128=0, filter_intra=1,
                   order_hint=0, screen_content=0, monochrome=0,
                   inter_intra=0, masked_compound=0, warped_motion=0,
                   dual_filter=0, jnt_comp=0, ref_frame_mvs=0,
-                  layout420=True) -> bytes:
+                  film_grain=0, layout420=True) -> bytes:
     """Profile-0 (8/10-bit 4:2:0) sequence header matching parse_seq_hdr
     field order (reference obu.c:72-300)."""
     pb = PutBits()
@@ -184,15 +196,67 @@ def write_seq_hdr(width: int, height: int, *, sb128=0, filter_intra=1,
         pb.put_bit(0)        # color_range (studio)
         pb.put_bits(0, 2)    # chroma sample position (420)
         pb.put_bit(0)        # separate_uv_delta_q
-    pb.put_bit(0)            # film_grain_present
+    pb.put_bit(film_grain)   # film_grain_present
     pb.trailing_bits()
     return wrap_obu(ObuType.SEQ_HDR, pb.data())
+
+
+
+
+def _write_film_grain(pb, seq, fg, is_inter):
+    """Film grain payload mirroring _parse_film_grain (obu.py) /
+    reference obu.c:1066-1145. fg: dict of FilmGrainData-ish fields."""
+    pb.put_bit(1)                       # film_grain_present
+    pb.put_bits(fg["seed"], 16)
+    if is_inter:
+        pb.put_bit(1)                   # update (fresh params)
+    ypts = fg.get("y_points", [])
+    pb.put_bits(len(ypts), 4)
+    for v, sc in ypts:
+        pb.put_bits(v, 8)
+        pb.put_bits(sc, 8)
+    csfl = fg.get("chroma_scaling_from_luma", 0)
+    if not seq.monochrome:
+        pb.put_bit(csfl)
+    uvpts = fg.get("uv_points", [[], []])
+    if not (seq.monochrome or csfl or
+            (seq.ss_ver == 1 and seq.ss_hor == 1 and not ypts)):
+        for pl in range(2):
+            pb.put_bits(len(uvpts[pl]), 4)
+            for v, sc in uvpts[pl]:
+                pb.put_bits(v, 8)
+                pb.put_bits(sc, 8)
+    else:
+        uvpts = [[], []]
+    pb.put_bits(fg.get("scaling_shift", 8) - 8, 2)
+    lag = fg.get("ar_coeff_lag", 0)
+    pb.put_bits(lag, 2)
+    n_y = 2 * lag * (lag + 1)
+    if ypts:
+        for c in fg.get("ar_coeffs_y", [0] * n_y)[:n_y]:
+            pb.put_bits(c + 128, 8)
+    for pl in range(2):
+        if uvpts[pl] or csfl:
+            n_uv = n_y + (1 if ypts else 0)
+            for c in fg.get("ar_coeffs_uv", [[0] * 25, [0] * 25])[pl][:n_uv]:
+                pb.put_bits(c + 128, 8)
+    pb.put_bits(fg.get("ar_coeff_shift", 6) - 6, 2)
+    pb.put_bits(fg.get("grain_scale_shift", 0), 2)
+    for pl in range(2):
+        if uvpts[pl]:
+            pb.put_bits(fg.get("uv_mult", [0, 0])[pl] + 128, 8)
+            pb.put_bits(fg.get("uv_luma_mult", [64, 64])[pl] + 128, 8)
+            pb.put_bits(fg.get("uv_offset", [0, 0])[pl] + 256, 9)
+    pb.put_bit(fg.get("overlap_flag", 1))
+    pb.put_bit(fg.get("clip_to_restricted_range", 0))
 
 
 def write_key_frame_hdr(seq, *, qidx=100, disable_cdf_update=0,
                         txfm_switchable=1, reduced_txtp=0, qm=0,
                         lf_levels=(0, 0, 0, 0), lf_sharpness=0,
                         mode_ref_delta=0, cdef_params=None,
+                        lr_types=(0, 0, 0), lr_unit_shift=0,
+                        lr_uv_shift=0, film_grain=None,
                         write_render_size=0,
                         tile_log2_cols=0, tile_log2_rows=0,
                         delta_q=0, delta_lf=0) -> PutBits:
@@ -280,14 +344,28 @@ def write_key_frame_hdr(seq, *, qidx=100, disable_cdf_update=0,
             pb.put_bits(ys[i], 6)
             if not seq.monochrome:
                 pb.put_bits(uvs[i], 6)
-    # restoration: seq off
+    # restoration
     if seq.restoration and not all_lossless:
-        raise NotImplementedError
+        t0, t1, t2 = lr_types
+        pb.put_bits(t0, 2)
+        if not seq.monochrome:
+            pb.put_bits(t1, 2)
+            pb.put_bits(t2, 2)
+        if t0 or t1 or t2:
+            pb.put_bit(1 if lr_unit_shift else 0)
+            if lr_unit_shift and not seq.sb128:
+                pb.put_bit(lr_unit_shift - 1)
+            if (t1 or t2) and seq.layout == 1:
+                pb.put_bit(lr_uv_shift)
     if not all_lossless:
         pb.put_bit(txfm_switchable)   # txfm mode
     # KEY: no comp refs / skip mode / warp / gmv
     pb.put_bit(reduced_txtp)
-    # film grain: seq off
+    if seq.film_grain_present:
+        if film_grain:
+            _write_film_grain(pb, seq, film_grain, is_inter=False)
+        else:
+            pb.put_bit(0)
     return pb
 
 
@@ -298,11 +376,15 @@ def generate_intra_stream(width, height, *, qidx=100, seed=0, sb128=0,
                           tile_log2_rows=0, delta_q=0, delta_lf=0,
                           hbd=0, force_skip=None, lf_levels=(0, 0, 0, 0),
                           lf_sharpness=0, mode_ref_delta=0,
-                          cdef_params=None):
+                          cdef_params=None, lr_types=(0, 0, 0),
+                          lr_unit_shift=0, lr_uv_shift=0,
+                          film_grain=None):
     """Returns (ivf_bytes, list[(seq_hdr, frame_hdr, FramePlan)])."""
     seq_obu = write_seq_hdr(width, height, sb128=sb128,
                             filter_intra=filter_intra, hbd=hbd,
-                            cdef=1 if cdef_params else 0)
+                            cdef=1 if cdef_params else 0,
+                            restoration=1 if any(lr_types) else 0,
+                            film_grain=1 if film_grain else 0)
     # parse back our own header for a single source of truth
     seq = obu_mod.parse_sequence_header_standalone(seq_obu)
 
@@ -317,7 +399,9 @@ def generate_intra_stream(width, height, *, qidx=100, seed=0, sb128=0,
             tile_log2_rows=tile_log2_rows, delta_q=delta_q,
             delta_lf=delta_lf, lf_levels=lf_levels,
             lf_sharpness=lf_sharpness, mode_ref_delta=mode_ref_delta,
-            cdef_params=cdef_params)
+            cdef_params=cdef_params, lr_types=lr_types,
+            lr_unit_shift=lr_unit_shift, lr_uv_shift=lr_uv_shift,
+            film_grain=film_grain)
         fh_pb.trailing_bits()
         fh_obu_payload = fh_pb.data()
 
@@ -497,7 +581,9 @@ def write_inter_frame_hdr(seq, *, poc, refidx=(0,) * 7, qidx=100,
                           tile_log2_cols=0, tile_log2_rows=0,
                           delta_q=0, delta_lf=0,
                           lf_levels=(0, 0, 0, 0), lf_sharpness=0,
-                          mode_ref_delta=0, cdef_params=None) -> PutBits:
+                          mode_ref_delta=0, cdef_params=None,
+                          lr_types=(0, 0, 0), lr_unit_shift=0,
+                          lr_uv_shift=0, film_grain=None) -> PutBits:
     """Inter frame header payload matching parse_frame_hdr's inter branch
     (reference obu.c:308-1152). skip_mode_allowed must be the value the
     parser will derive (it depends on ref-slot POCs the writer can't see)."""
@@ -601,7 +687,17 @@ def write_inter_frame_hdr(seq, *, poc, refidx=(0,) * 7, qidx=100,
             pb.put_bits(ys[i], 6)
             pb.put_bits(uvs[i], 6)
     if seq.restoration and not all_lossless:
-        raise NotImplementedError
+        t0, t1, t2 = lr_types
+        pb.put_bits(t0, 2)
+        if not seq.monochrome:
+            pb.put_bits(t1, 2)
+            pb.put_bits(t2, 2)
+        if t0 or t1 or t2:
+            pb.put_bit(1 if lr_unit_shift else 0)
+            if lr_unit_shift and not seq.sb128:
+                pb.put_bit(lr_unit_shift - 1)
+            if (t1 or t2) and seq.layout == 1:
+                pb.put_bit(lr_uv_shift)
     if not all_lossless:
         pb.put_bit(txfm_switchable)
     pb.put_bit(switchable_comp_refs)
@@ -615,7 +711,11 @@ def write_inter_frame_hdr(seq, *, poc, refidx=(0,) * 7, qidx=100,
     if ref_gmv is None:
         ref_gmv = [WarpedMotionParams() for _ in range(7)]
     _write_gmv(pb, gmv, ref_gmv, hp)
-    # film grain: seq off
+    if seq.film_grain_present:
+        if film_grain:
+            _write_film_grain(pb, seq, film_grain, is_inter=True)
+        else:
+            pb.put_bit(0)
     return pb
 
 
@@ -645,7 +745,9 @@ def generate_stream(width, height, *, n_frames=4, qidx=100, seed=0,
                     primary_ref=0, subpel_filter_switchable=1,
                     subpel_filter=0, delta_q=0, delta_lf=0, hbd=0,
                     lf_levels=(0, 0, 0, 0), lf_sharpness=0,
-                    mode_ref_delta=0, cdef_params=None):
+                    mode_ref_delta=0, cdef_params=None,
+                    lr_types=(0, 0, 0), lr_unit_shift=0, lr_uv_shift=0,
+                    film_grain=None):
     """Key frame + (n_frames-1) inter frames, generated by driving OUR
     decoder's own frame pipeline with a GenCoder (so generator ref/CDF
     state == decoder state by construction).
@@ -664,7 +766,9 @@ def generate_stream(width, height, *, n_frames=4, qidx=100, seed=0,
         ref_frame_mvs=ref_frame_mvs, inter_intra=inter_intra,
         masked_compound=masked_compound, warped_motion=warped_motion,
         dual_filter=dual_filter, filter_intra=filter_intra, hbd=hbd,
-        cdef=1 if cdef_params else 0)
+        cdef=1 if cdef_params else 0,
+        restoration=1 if any(lr_types) else 0,
+        film_grain=1 if film_grain else 0)
     seq = obu_mod.parse_sequence_header_standalone(seq_obu)
 
     dec = ObuStreamDecoder(do_recon=False)
@@ -685,7 +789,9 @@ def generate_stream(width, height, *, n_frames=4, qidx=100, seed=0,
                 tile_log2_rows=tile_log2_rows,
                 delta_q=delta_q, delta_lf=delta_lf, lf_levels=lf_levels,
                 lf_sharpness=lf_sharpness, mode_ref_delta=mode_ref_delta,
-                cdef_params=cdef_params)
+                cdef_params=cdef_params, lr_types=lr_types,
+                lr_unit_shift=lr_unit_shift, lr_uv_shift=lr_uv_shift,
+                film_grain=film_grain)
         else:
             refidx = refidx_fn(fi) if refidx_fn else (0,) * 7
             refresh = refresh_fn(fi) if refresh_fn else 0x02
@@ -722,7 +828,9 @@ def generate_stream(width, height, *, n_frames=4, qidx=100, seed=0,
                 tile_log2_rows=tile_log2_rows,
                 delta_q=delta_q, delta_lf=delta_lf, lf_levels=lf_levels,
                 lf_sharpness=lf_sharpness, mode_ref_delta=mode_ref_delta,
-                cdef_params=cdef_params)
+                cdef_params=cdef_params, lr_types=lr_types,
+                lr_unit_shift=lr_unit_shift, lr_uv_shift=lr_uv_shift,
+                film_grain=film_grain)
         fh_pb.trailing_bits()
         fh_payload = fh_pb.data()
 
