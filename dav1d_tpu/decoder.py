@@ -241,6 +241,18 @@ class ObuStreamDecoder:
             if f.rf.use_ref_frame_mvs:
                 f.rf.load_tmvs(0, f.rf.iw8, 0, f.rf.ih8)
 
+        # segmentation maps (reference decode.c:3611-3666)
+        cur_segmap = None
+        if fh.segmentation.enabled:
+            if fh.segmentation.temporal or not fh.segmentation.update_map:
+                pri = fh.refidx[fh.primary_ref_frame]
+                slot = self.refs[pri]
+                if slot.frame_hdr is not None and slot.segmap is not None:
+                    ref_w = ((slot.frame_hdr.width[0] + 7) >> 3) << 1
+                    ref_h = ((slot.frame_hdr.height + 7) >> 3) << 1
+                    if ref_w == f.bw and ref_h == f.bh:
+                        f.prev_segmap = slot.segmap
+
         # CDF lifecycle (reference decode.c:3492-3501)
         if fh.primary_ref_frame == PRIMARY_REF_NONE:
             in_cdf = CdfContext.default(fh.quant.yac)
@@ -280,7 +292,7 @@ class ObuStreamDecoder:
         # reconstruction
         pic = None
         if self.do_recon and coder_factory is None:
-            if key_or_intra:
+            if key_or_intra and not fh.allow_intrabc:
                 from .recon.intra_ref import reconstruct_intra_frame
                 pic = reconstruct_intra_frame(plan)
             else:
@@ -298,12 +310,15 @@ class ObuStreamDecoder:
                 apply_lr(pic, pre_cdef, plan)
 
         # slot refresh (reference decode.c:3669-3695)
+        if fh.segmentation.enabled:
+            cur_segmap = plan.b4_seg.copy()
         final_cdf = out_cdf if fh.refresh_context else in_cdf
         for i in range(8):
             if fh.refresh_frame_flags & (1 << i):
                 self.refs[i] = RefSlot(
                     pic=pic, frame_hdr=fh, poc=fh.frame_offset,
-                    refpoc=list(f.refpoc), cdf=final_cdf, rp=rp)
+                    refpoc=list(f.refpoc), cdf=final_cdf, rp=rp,
+                    segmap=cur_segmap)
                 self.state.refs[i].frame_hdr = fh
 
         st.frame_hdr = None

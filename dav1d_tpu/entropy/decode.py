@@ -95,6 +95,9 @@ class Block:
     coef_start: int = 0
     coef_end: int = 0
     lf_lvl: tuple = None      # (y_v, y_h, u, v) filter levels at parse
+    pal: object = None        # [3][8] palette colours
+    pal_idx_y: object = None  # (bh4*4, bw4*4) index map
+    pal_idx_uv: object = None
 
 
 class FrameContext:
@@ -126,6 +129,7 @@ class FrameContext:
         self.svc_scale = [0] * 7
         self.gmv_warp_allowed = [0] * 7
         self.rf = None            # RefMvsFrame for inter frames
+        self.prev_segmap = None   # (bh, bw) uint8 from the primary ref
 
         # dequant tables per segment (reference decode.c:54-75)
         self.dq = self._init_quant_tables(frame_hdr.quant.yac)
@@ -210,6 +214,9 @@ class TileParser(InterParserMixin):
         self.last_qidx = fh.quant.yac
         self.last_delta_lf = [0, 0, 0, 0]
         self.dq = f.dq                       # may be swapped for sb-local
+        # palette above/left state (reference internal.h:401-402, 352)
+        self.al_pal = np.zeros((2, 32, 3, 8), np.int32)
+        self.pal_sz_uv = np.zeros((2, 32), np.uint8)
         # position state
         self.bx = 0
         self.by = 0
@@ -263,6 +270,7 @@ class TileParser(InterParserMixin):
         for by in range(self.row_start, self.row_end, f.sb_step):
             self.by = by
             self.l.reset(f.key_or_intra)
+            self.pal_sz_uv[1][:] = 0
             for bx in range(self.col_start, self.col_end, f.sb_step):
                 self.bx = bx
                 # cdef idx storage for this sb (reference decode.c:2649-2661)
@@ -553,10 +561,14 @@ class TileParser(InterParserMixin):
         seg_pred = 0
         if fh.segmentation.enabled:
             if not fh.segmentation.update_map:
-                raise NotImplementedError("segmentation map from prev frame")
-            if fh.segmentation.seg_data.preskip:
+                # inherit from the previous frame's map
+                b.seg_id = self._prev_frame_segid(w4, h4)
+                seg = fh.segmentation.seg_data.d[b.seg_id]
+            elif fh.segmentation.seg_data.preskip:
                 b.seg_id, seg_pred = self._read_seg_id(
                     bx4, by4, w4, h4, have_top, have_left, skip=False)
+                if self.dbg:
+                    print(f"Post-segid[preskip;{b.seg_id}]: r={msac.rng}")
                 seg = fh.segmentation.seg_data.d[b.seg_id]
         else:
             b.seg_id = 0
@@ -583,6 +595,8 @@ class TileParser(InterParserMixin):
                 not fh.segmentation.seg_data.preskip):
             b.seg_id, seg_pred = self._read_seg_id(
                 bx4, by4, w4, h4, have_top, have_left, skip=b.skip)
+            if self.dbg:
+                print(f"Post-segid[postskip;{b.seg_id}]: r={msac.rng}")
             seg = fh.segmentation.seg_data.d[b.seg_id]
 
         # cdef index
@@ -604,7 +618,19 @@ class TileParser(InterParserMixin):
                                          have_top, have_left)
                 b.intra = int(not msac.decode_bool_adapt(cdf.m.intra[ictx]))
         elif fh.allow_intrabc:
+            if hasattr(msac, "force"):
+                # stream generator: intrabc has no valid source in the
+                # first superblock of a tile (decode.c:1340 errors out)
+                ib = cdf.m.intrabc
+                root = ib.base if ib.base is not None else ib
+                if (self.bx < self.col_start + f.sb_step and
+                        self.by < self.row_start + f.sb_step):
+                    msac.force[id(root)] = 0
+                else:
+                    msac.force.pop(id(root), None)
             b.intra = int(not msac.decode_bool_adapt(cdf.m.intrabc))
+            if self.dbg:
+                print(f"Post-intrabcflag[{b.intra}]: r={msac.rng}")
         else:
             b.intra = 1
 
@@ -620,6 +646,10 @@ class TileParser(InterParserMixin):
                 self.rt.rf.splat_mv(self.bx, self.by, bw4, bh4,
                                     ((INVALID_MV, INVALID_MV), (0, 0)),
                                     (0, -1), bs, 0)
+        elif f.key_or_intra:
+            self._decode_b_intrabc(b, bs, b_dim, bx4, by4, bw4, bh4,
+                                   has_chroma, seg_pred, edge_flags,
+                                   cbx4, cby4, cbw4, cbh4, w4, h4)
         else:
             self._decode_b_inter(b, bl, bs, bp, b_dim, bx4, by4, cbx4, cby4,
                                  bw4, bh4, w4, h4, cbw4, cbh4,
@@ -631,6 +661,195 @@ class TileParser(InterParserMixin):
             b.lf_lvl = self._calc_lf_lvl(b, fh)
         b.coef_end = len(self.plan.coefs)
         self.plan.blocks.append(b)
+
+    # -- palette (reference recon_tmpl.c:2172-2268, decode.c:330-444) ---
+    def _read_pal_plane(self, b, pl, sz_ctx, bx4, by4):
+        msac = self.msac
+        f = self.f
+        bpc = 8 + 2 * f.seq_hdr.hbd
+        pal_sz = msac.decode_symbol_adapt(
+            self.cdf.m.pal_sz[pl][sz_ctx], 6) + 2
+        cache = []
+        l_cache = int(self.pal_sz_uv[1][by4]) if pl else \
+            int(self.l.pal_sz[by4])
+        # don't reuse above palette outside SB64 boundaries
+        a_cache = (int(self.pal_sz_uv[0][bx4]) if pl else
+                   int(self.a.pal_sz[bx4])) if (by4 & 15) else 0
+        lpal = self.al_pal[1, by4, pl]
+        apal = self.al_pal[0, bx4, pl]
+        li = ai = 0
+        while l_cache and a_cache:
+            lv_, av = int(lpal[li]), int(apal[ai])
+            if lv_ < av:
+                if not cache or cache[-1] != lv_:
+                    cache.append(lv_)
+                li += 1
+                l_cache -= 1
+            else:
+                if av == lv_:
+                    li += 1
+                    l_cache -= 1
+                if not cache or cache[-1] != av:
+                    cache.append(av)
+                ai += 1
+                a_cache -= 1
+        while l_cache:
+            v = int(lpal[li])
+            if not cache or cache[-1] != v:
+                cache.append(v)
+            li += 1
+            l_cache -= 1
+        while a_cache:
+            v = int(apal[ai])
+            if not cache or cache[-1] != v:
+                cache.append(v)
+            ai += 1
+            a_cache -= 1
+        used_cache = []
+        for v in cache:
+            if len(used_cache) >= pal_sz:
+                break
+            if msac.decode_bool_equi():
+                used_cache.append(v)
+        if b.pal is None:
+            b.pal = [np.zeros(8, np.int32) for _ in range(3)]
+        pal = b.pal[pl]
+        i = len(used_cache)
+        if i < pal_sz:
+            new = []
+            prev = msac.decode_bools(bpc)
+            new.append(prev)
+            i += 1
+            if i < pal_sz:
+                bits = bpc - 3 + msac.decode_bools(2)
+                mx = (1 << bpc) - 1
+                while i < pal_sz:
+                    delta = msac.decode_bools(bits)
+                    prev = min(prev + delta + (0 if pl else 1), mx)
+                    new.append(prev)
+                    i += 1
+                    if prev + (0 if pl else 1) >= mx:
+                        while i < pal_sz:
+                            new.append(mx)
+                            i += 1
+                        break
+                    bits = min(bits, 1 + (mx - prev -
+                                          (0 if pl else 1)).bit_length() - 1)
+            # merge sorted cache + new entries
+            n = m = 0
+            merged = []
+            for _ in range(pal_sz):
+                if n < len(used_cache) and (m >= len(new) or
+                                            used_cache[n] <= new[m]):
+                    merged.append(used_cache[n])
+                    n += 1
+                else:
+                    merged.append(new[m])
+                    m += 1
+            pal[:pal_sz] = merged
+        else:
+            pal[:pal_sz] = used_cache[:pal_sz]
+        if self.dbg:
+            print(f"Post-pal[pl={pl},sz={pal_sz}]: r={msac.rng}, " +
+                  " ".join(f"{int(v):02x}" for v in pal[:pal_sz]))
+        return pal_sz
+
+    def _read_pal_uv(self, b, sz_ctx, bx4, by4):
+        msac = self.msac
+        pal_sz = self._read_pal_plane(b, 1, sz_ctx, bx4, by4)
+        bpc = 8 + 2 * self.f.seq_hdr.hbd
+        pal = b.pal[2]
+        if msac.decode_bool_equi():
+            bits = bpc - 4 + msac.decode_bools(2)
+            prev = msac.decode_bools(bpc)
+            pal[0] = prev
+            mx = (1 << bpc) - 1
+            for i in range(1, pal_sz):
+                delta = msac.decode_bools(bits)
+                if delta and msac.decode_bool_equi():
+                    delta = -delta
+                prev = (prev + delta) & mx
+                pal[i] = prev
+        else:
+            for i in range(pal_sz):
+                pal[i] = msac.decode_bools(bpc)
+        if self.dbg:
+            print(f"Post-pal[pl=2]: r={msac.rng} " +
+                  " ".join(f"{int(v):02x}" for v in pal[:pal_sz]))
+        return pal_sz
+
+    def _read_pal_indices(self, pal_sz, pl, w4, h4, bw4, bh4):
+        """reference decode.c:353-444 order_palette + read_pal_indices;
+        returns the (bh4*4, bw4*4) unpacked index map with the
+        pal_idx_finish edge replication applied."""
+        msac = self.msac
+        stride = bw4 * 4
+        m = np.zeros((bh4 * 4, stride), np.uint8)
+        m[0, 0] = msac.decode_uniform(pal_sz)
+        cmap_cdf = self.cdf.m.color_map[pl][pal_sz - 2]
+        W, H = w4 * 4, h4 * 4
+        for i in range(1, 4 * (w4 + h4) - 1):
+            first = min(i, W - 1)
+            last = max(0, i - H + 1)
+            for j in range(first, last - 1, -1):
+                y, x = i - j, j
+                have_left = x > 0
+                have_top = y > 0
+                order = []
+                mask = 0
+
+                def add(v):
+                    nonlocal mask
+                    order.append(v)
+                    mask |= 1 << v
+                if not have_left:
+                    ctx = 0
+                    add(int(m[y - 1, x]))
+                elif not have_top:
+                    ctx = 0
+                    add(int(m[y, x - 1]))
+                else:
+                    l_ = int(m[y, x - 1])
+                    t_ = int(m[y - 1, x])
+                    tl = int(m[y - 1, x - 1])
+                    same_t_l = t_ == l_
+                    same_t_tl = t_ == tl
+                    same_l_tl = l_ == tl
+                    if same_t_l and same_t_tl and same_l_tl:
+                        ctx = 4
+                        add(t_)
+                    elif same_t_l:
+                        ctx = 3
+                        add(t_)
+                        add(tl)
+                    elif same_t_tl or same_l_tl:
+                        ctx = 2
+                        add(tl)
+                        add(l_ if same_t_tl else t_)
+                    else:
+                        ctx = 1
+                        add(min(t_, l_))
+                        add(max(t_, l_))
+                        add(tl)
+                for bit in range(8):
+                    if not (mask & (1 << bit)):
+                        order.append(bit)
+                color_idx = msac.decode_symbol_adapt(
+                    cmap_cdf[ctx], pal_sz - 1)
+                m[y, x] = order[color_idx]
+        # pal_idx_finish edge replication (reference pal.c:33-70)
+        if W < stride:
+            m[:, W:] = m[:, W - 1:W]
+        if H < bh4 * 4:
+            m[H:, :] = m[H - 1:H, :]
+        return m
+
+    def _copy_pal_block(self, b, bx4, by4, bw4, bh4, uv):
+        """reference recon_tmpl.c:2136-2170 copy_pal_block_y/uv."""
+        planes = (1, 2) if uv else (0,)
+        for pl in planes:
+            self.al_pal[0, bx4:bx4 + bw4, pl] = b.pal[pl]
+            self.al_pal[1, by4:by4 + bh4, pl] = b.pal[pl]
 
     # ------------------------------------------------------------------
     def _calc_lf_lvl(self, b, fh):
@@ -669,11 +888,23 @@ class TileParser(InterParserMixin):
         return tuple(out)
 
     # ------------------------------------------------------------------
+    def _prev_frame_segid(self, w4, h4):
+        """reference decode.c:494-512 get_prev_frame_segid."""
+        prev = self.f.prev_segmap
+        if prev is None:
+            return 0
+        blk = prev[self.by:self.by + h4, self.bx:self.bx + w4]
+        return int(blk.min())
+
     def _read_seg_id(self, bx4, by4, w4, h4, have_top, have_left, skip):
+        """reference decode.c:817-945 (temporal + spatial paths)."""
         fh = self.f.frame_hdr
-        if fh.segmentation.temporal:
-            raise NotImplementedError("temporal segmentation prediction")
-        # spatial prediction from current segmap
+        msac = self.msac
+        if not skip and fh.segmentation.temporal:
+            spctx = int(self.a.seg_pred[bx4]) + int(self.l.seg_pred[by4])
+            seg_pred = msac.decode_bool_adapt(self.cdf.m.seg_pred[spctx])
+            if seg_pred:
+                return self._prev_frame_segid(w4, h4), 1
         pred_seg_id, seg_ctx = self._get_cur_frame_segid(have_top, have_left)
         if skip:
             return pred_seg_id, 0
@@ -838,9 +1069,27 @@ class TileParser(InterParserMixin):
                 b.uv_angle = msac.decode_symbol_adapt(acdf, 6) - 3
 
         b.pal_sz = (0, 0)
+        pal_sz0 = pal_sz1 = 0
         if (fh.allow_screen_content_tools and max(bw4, bh4) <= 16 and
                 bw4 + bh4 >= 4):
-            raise NotImplementedError("palette mode")
+            sz_ctx = int(b_dim[2]) + int(b_dim[3]) - 2
+            if b.y_mode == lv.DC_PRED:
+                pal_ctx = int(self.a.pal_sz[bx4] > 0) + \
+                    int(self.l.pal_sz[by4] > 0)
+                use_y_pal = msac.decode_bool_adapt(
+                    cdf.m.pal_y[sz_ctx][pal_ctx])
+                if self.dbg:
+                    print(f"Post-y_pal[{use_y_pal}]: r={msac.rng}")
+                if use_y_pal:
+                    pal_sz0 = self._read_pal_plane(b, 0, sz_ctx, bx4, by4)
+            if has_chroma and b.uv_mode == lv.DC_PRED:
+                pal_ctx = int(pal_sz0 > 0)
+                use_uv_pal = msac.decode_bool_adapt(cdf.m.pal_uv[pal_ctx])
+                if self.dbg:
+                    print(f"Post-uv_pal[{use_uv_pal}]: r={msac.rng}")
+                if use_uv_pal:
+                    pal_sz1 = self._read_pal_uv(b, sz_ctx, bx4, by4)
+            b.pal_sz = (pal_sz0, pal_sz1)
 
         if (b.y_mode == lv.DC_PRED and not b.pal_sz[0] and
                 max(b_dim[2], b_dim[3]) <= 3 and f.seq_hdr.filter_intra):
@@ -848,6 +1097,19 @@ class TileParser(InterParserMixin):
             if is_filter:
                 b.y_mode = lv.FILTER_PRED
                 b.y_angle = msac.decode_symbol_adapt(cdf.m.filter_intra, 4)
+
+        if b.pal_sz[0]:
+            b.pal_idx_y = self._read_pal_indices(b.pal_sz[0], 0, w4, h4,
+                                                 bw4, bh4)
+            if self.dbg:
+                print(f"Post-y-pal-indices: r={msac.rng}")
+        if has_chroma and b.pal_sz[1]:
+            ss_v, ss_h = f.ss_ver, f.ss_hor
+            b.pal_idx_uv = self._read_pal_indices(
+                b.pal_sz[1], 1, (w4 + ss_h) >> ss_h, (h4 + ss_v) >> ss_v,
+                cbw4, cbh4)
+            if self.dbg:
+                print(f"Post-uv-pal-indices: r={msac.rng}")
 
         # tx size
         lossless = fh.segmentation.lossless[b.seg_id]
@@ -881,6 +1143,8 @@ class TileParser(InterParserMixin):
         a.tx[bx4:bx4 + bw4] = t_dim_f.lw
         a.mode[bx4:bx4 + bw4] = y_mode_nofilt
         a.pal_sz[bx4:bx4 + bw4] = b.pal_sz[0]
+        self.pal_sz_uv[0][bx4:bx4 + bw4] = \
+            b.pal_sz[1] if has_chroma else 0
         a.seg_pred[bx4:bx4 + bw4] = seg_pred
         a.skip_mode[bx4:bx4 + bw4] = 0
         a.intra[bx4:bx4 + bw4] = 1
@@ -889,7 +1153,13 @@ class TileParser(InterParserMixin):
         l.tx[by4:by4 + bh4] = t_dim_f.lh
         l.mode[by4:by4 + bh4] = y_mode_nofilt
         l.pal_sz[by4:by4 + bh4] = b.pal_sz[0]
+        self.pal_sz_uv[1][by4:by4 + bh4] = \
+            b.pal_sz[1] if has_chroma else 0
         l.seg_pred[by4:by4 + bh4] = seg_pred
+        if b.pal_sz[0]:
+            self._copy_pal_block(b, bx4, by4, bw4, bh4, uv=False)
+        if b.pal_sz[1]:
+            self._copy_pal_block(b, bx4, by4, bw4, bh4, uv=True)
         l.skip_mode[by4:by4 + bh4] = 0
         l.intra[by4:by4 + bh4] = 1
         l.skip[by4:by4 + bh4] = b.skip

@@ -686,6 +686,7 @@ class InterParserMixin:
         a.intra[bx4:bx4 + bw4] = 0
         a.skip[bx4:bx4 + bw4] = b.skip
         a.pal_sz[bx4:bx4 + bw4] = 0
+        self.pal_sz_uv[0][bx4:bx4 + bw4] = 0
         a.tx_intra[bx4:bx4 + bw4] = b_dim[2]
         a.comp_type[bx4:bx4 + bw4] = b.comp_type
         a.filter[0][bx4:bx4 + bw4] = filt[0]
@@ -702,6 +703,7 @@ class InterParserMixin:
         l.intra[by4:by4 + bh4] = 0
         l.skip[by4:by4 + bh4] = b.skip
         l.pal_sz[by4:by4 + bh4] = 0
+        self.pal_sz_uv[1][by4:by4 + bh4] = 0
         l.tx_intra[by4:by4 + bh4] = b_dim[3]
         l.comp_type[by4:by4 + bh4] = b.comp_type
         l.filter[0][by4:by4 + bh4] = filt[0]
@@ -862,3 +864,114 @@ class InterParserMixin:
                         self.by += uv_t_dim.h << ss_ver
                     self.by = by_outer
                     self.bx = bx_outer
+
+    # -- intra block copy (reference decode.c:1264-1381) ----------------
+    def _decode_b_intrabc(self, b, bs, b_dim, bx4, by4, bw4, bh4,
+                          has_chroma, seg_pred, edge_flags,
+                          cbx4, cby4, cbw4, cbh4, w4, h4):
+        f = self.f
+        fh = f.frame_hdr
+        msac = self.msac
+        a, l = self.a, self.l
+        ss_ver, ss_hor = f.ss_ver, f.ss_hor
+
+        mvstack, _n, _ctx = rmv.refmvs_find(
+            self.rt, (0, -1), bs, edge_flags, self.by, self.bx)
+        if mvstack[0]["mv"][0] != (0, 0):
+            mv = mvstack[0]["mv"][0]
+        elif len(mvstack) > 1 and mvstack[1]["mv"][0] != (0, 0):
+            mv = mvstack[1]["mv"][0]
+        else:
+            if self.by - (16 << f.sb128) < self.row_start:
+                mv = (0, -(512 << f.sb128) - 2048)
+            else:
+                mv = (-(512 << f.sb128), 0)
+        ref_mv = mv
+        mv = self._read_mv_residual(mv, -1)
+
+        # clip to the decoded parts of the current tile
+        border_left = self.col_start * 4
+        border_top = self.row_start * 4
+        if has_chroma:
+            if bw4 < 2 and ss_hor:
+                border_left += 4
+            if bh4 < 2 and ss_ver:
+                border_top += 4
+        src_left = self.bx * 4 + (mv[1] >> 3)
+        src_top = self.by * 4 + (mv[0] >> 3)
+        src_right = src_left + bw4 * 4
+        src_bottom = src_top + bh4 * 4
+        border_right = ((self.col_end + (bw4 - 1)) & ~(bw4 - 1)) * 4
+
+        if src_left < border_left:
+            src_right += border_left - src_left
+            src_left = border_left
+        elif src_right > border_right:
+            src_left -= src_right - border_right
+            src_right = border_right
+        if src_top < border_top:
+            src_bottom += border_top - src_top
+            src_top = border_top
+
+        sbx = (self.bx >> (4 + f.sb128)) << (6 + f.sb128)
+        sby = (self.by >> (4 + f.sb128)) << (6 + f.sb128)
+        sb_size = 1 << (6 + f.sb128)
+        if src_bottom > sby and src_right > sbx:
+            if src_top - border_top >= src_bottom - sby:
+                d = src_bottom - sby
+                src_top -= d
+                src_bottom -= d
+            elif src_left - border_left >= src_right - sbx:
+                d = src_right - sbx
+                src_left -= d
+                src_right -= d
+        if src_bottom > sby + sb_size:
+            d = src_bottom - (sby + sb_size)
+            src_top -= d
+            src_bottom -= d
+        if src_bottom > sby and src_right > sbx:
+            raise ValueError("intrabc mv overlaps current superblock")
+
+        b.mv = ((((src_top - self.by * 4) * 8),
+                 ((src_left - self.bx * 4) * 8)), (0, 0))
+        b.ref = (-1, -1)
+        b.filter2d = 9       # FILTER_2D_BILINEAR
+        if self.dbg:
+            print(f"Post-dmv[{b.mv[0][0]}/{b.mv[0][1]},"
+                  f"ref={ref_mv[0]}/{ref_mv[1]}|"
+                  f"{mvstack[0]['mv'][0][0]}/{mvstack[0]['mv'][0][1]}]: "
+                  f"r={msac.rng}")
+        self._read_vartx_tree(b, bs, bx4, by4)
+        self._read_coef_blocks_inter(b, bs, bx4, by4, bw4, bh4, w4, h4,
+                                     has_chroma)
+
+        # splat_intrabc_mv (reference decode.c:530-543)
+        self.rt.rf.splat_mv(self.bx, self.by, bw4, bh4,
+                            (b.mv[0], (0, 0)), (0, -1), bs, 0)
+
+        # context updates (reference decode.c:1361-1380)
+        a.tx_intra[bx4:bx4 + bw4] = b_dim[2]
+        a.mode[bx4:bx4 + bw4] = lv.DC_PRED
+        a.pal_sz[bx4:bx4 + bw4] = 0
+        self.pal_sz_uv[0][bx4:bx4 + bw4] = 0
+        a.seg_pred[bx4:bx4 + bw4] = seg_pred
+        a.skip_mode[bx4:bx4 + bw4] = 0
+        a.intra[bx4:bx4 + bw4] = 0
+        a.skip[bx4:bx4 + bw4] = b.skip
+        l.tx_intra[by4:by4 + bh4] = b_dim[3]
+        l.mode[by4:by4 + bh4] = lv.DC_PRED
+        l.pal_sz[by4:by4 + bh4] = 0
+        self.pal_sz_uv[1][by4:by4 + bh4] = 0
+        l.seg_pred[by4:by4 + bh4] = seg_pred
+        l.skip_mode[by4:by4 + bh4] = 0
+        l.intra[by4:by4 + bh4] = 0
+        l.skip[by4:by4 + bh4] = b.skip
+        if has_chroma:
+            a.uvmode[cbx4:cbx4 + cbw4] = lv.DC_PRED
+            l.uvmode[cby4:cby4 + cbh4] = lv.DC_PRED
+        p_ = self.plan
+        y0, x0 = self.by, self.bx
+        p_.b4_bs[y0:y0 + h4, x0:x0 + w4] = bs
+        p_.b4_intra[y0:y0 + h4, x0:x0 + w4] = 0
+        p_.b4_skip[y0:y0 + h4, x0:x0 + w4] = b.skip
+        p_.b4_seg[y0:y0 + h4, x0:x0 + w4] = b.seg_id

@@ -41,7 +41,7 @@ def compute_jnt_weights(f, refp):
     poc = f.frame_hdr.frame_offset
     w = np.zeros((7, 7), np.int32)
     if not (f.seq_hdr.jnt_comp and f.frame_hdr.switchable_comp_refs and
-            f.seq_hdr.order_hint):
+            f.seq_hdr.order_hint) or refp[0] is None:
         return w
     for i in range(7):
         ref0poc = refp[i].poc
@@ -77,9 +77,12 @@ class InterReconstructor(IntraReconstructor):
     def _ref_plane(self, refidx, pl):
         return self.refp[refidx].pic.planes[pl]
 
-    def _mc(self, put, bw4, bh4, bx, by, pl, mv, refidx, filter2d):
+    def _mc(self, put, bw4, bh4, bx, by, pl, mv, refidx, filter2d,
+            self_ref=False):
         """reference recon_tmpl.c:938-1054 mc() (non-scaled path).
-        put=True -> pixel block; False -> prep (int16 bias domain)."""
+        put=True -> pixel block; False -> prep (int16 bias domain).
+        self_ref: intra block copy (reads the current picture; bounds
+        are the even-rounded coded area, recon_tmpl.c:960-967)."""
         f = self.f
         bd = self.bitdepth
         ss_ver = int(bool(pl)) and f.ss_ver
@@ -88,11 +91,16 @@ class InterReconstructor(IntraReconstructor):
         mvy, mvx = mv
         mx = mvx & (15 >> (1 - ss_hor))
         my = mvy & (15 >> (1 - ss_ver))
-        ref = self._ref_plane(refidx, pl)
+        if self_ref:
+            ref = self.pic.planes[pl]
+            w = (f.bw * 4) >> ss_hor
+            h = (f.bh * 4) >> ss_ver
+        else:
+            ref = self._ref_plane(refidx, pl)
+            w = (f.frame_hdr.width[0] + ss_hor) >> ss_hor
+            h = (f.frame_hdr.height + ss_ver) >> ss_ver
         dx = bx * h_mul + (mvx >> (3 + ss_hor))
         dy = by * v_mul + (mvy >> (3 + ss_ver))
-        w = (f.frame_hdr.width[0] + ss_hor) >> ss_hor
-        h = (f.frame_hdr.height + ss_ver) >> ss_ver
         bw_px, bh_px = bw4 * h_mul, bh4 * v_mul
         have_mx, have_my = int(mx != 0), int(my != 0)
         if (dx < have_mx * 3 or dy < have_my * 3 or
@@ -269,7 +277,27 @@ class InterReconstructor(IntraReconstructor):
         y_plane = self.pic.planes[0]
         px, py = b.bx * 4, b.by * 4
 
-        if b.comp_type == COMP_INTER_NONE:
+        if f.key_or_intra:
+            # intra block copy (reference recon_tmpl.c:1583-1596)
+            FILTER_2D_BILINEAR = 9
+            pred = self._mc(True, bw4, bh4, b.bx, b.by, 0, b.mv[0], 0,
+                            FILTER_2D_BILINEAR, self_ref=True)
+            y_plane[py:py + bh4 * 4, px:px + bw4 * 4] = \
+                pred.astype(y_plane.dtype)
+            if has_chroma:
+                for pl in range(2):
+                    plane = self.pic.planes[1 + pl]
+                    mbw4 = bw4 << int(bw4 == ss_hor)
+                    mbh4 = bh4 << int(bh4 == ss_ver)
+                    pred = self._mc(True, mbw4, mbh4, b.bx & ~ss_hor,
+                                    b.by & ~ss_ver, 1 + pl, b.mv[0], 0,
+                                    FILTER_2D_BILINEAR, self_ref=True)
+                    uv_px = (b.bx >> ss_hor) * 4
+                    uv_py = (b.by >> ss_ver) * 4
+                    ph, pw = pred.shape
+                    plane[uv_py:uv_py + ph, uv_px:uv_px + pw] = \
+                        pred.astype(plane.dtype)
+        elif b.comp_type == COMP_INTER_NONE:
             filter2d = b.filter2d
             if (min(bw4, bh4) > 1 and
                 ((b.inter_mode == lv.GLOBALMV and

@@ -178,6 +178,21 @@ class IntraReconstructor:
         bd = self.bitdepth
         plane = self.pic.planes[0]
         px, py = bx * 4, by * 4
+        if b.pal_sz[0]:
+            # palette prediction (reference recon_tmpl.c:1242-1258)
+            w_px, h_px = t_dim.w * 4, t_dim.h * 4
+            ox, oy = (bx - b.bx) * 4, (by - b.by) * 4
+            pred = b.pal[0][b.pal_idx_y[oy:oy + h_px, ox:ox + w_px]]
+            plane[py:py + h_px, px:px + w_px] = pred.astype(plane.dtype)
+            if not b.skip:
+                cb = self.coef_by_pos.get((0, bx, by))
+                if cb is not None and cb.eob >= 0:
+                    dst = plane[py:py + h_px, px:px + w_px]
+                    tmp = dst.astype(np.uint16)
+                    itx_ref.inv_txfm_add(tmp, cb.cf, cb.eob, cb.tx,
+                                         cb.txtp, bd)
+                    dst[:] = tmp.astype(plane.dtype)
+            return
         edge_flags = (
             (0 if ((y > init_y or not sb_has_tr) and (x + t_dim.w >= sub_w4))
              else EDGE_I444_TOP_HAS_RIGHT) |
@@ -224,6 +239,21 @@ class IntraReconstructor:
         cbx = (b.bx >> ss_hor) + x
         cby = (b.by >> ss_ver) + y
         px, py = cbx * 4, cby * 4
+        if b.pal_sz[1]:
+            w_px, h_px = uv_t_dim.w * 4, uv_t_dim.h * 4
+            ox = (cbx - (b.bx >> ss_hor)) * 4
+            oy = (cby - (b.by >> ss_ver)) * 4
+            pred = b.pal[1 + pl][b.pal_idx_uv[oy:oy + h_px, ox:ox + w_px]]
+            plane[py:py + h_px, px:px + w_px] = pred.astype(plane.dtype)
+            if not b.skip:
+                cb = self.coef_by_pos.get((1 + pl, cbx, cby))
+                if cb is not None and cb.eob >= 0:
+                    dst = plane[py:py + h_px, px:px + w_px]
+                    tmp = dst.astype(np.uint16)
+                    itx_ref.inv_txfm_add(tmp, cb.cf, cb.eob, cb.tx,
+                                         cb.txtp, bd)
+                    dst[:] = tmp.astype(plane.dtype)
+            return
         is_cfl = b.uv_mode == lv.CFL_PRED
 
         if not (is_cfl and b.cfl_alpha[pl]):

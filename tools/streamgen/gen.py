@@ -203,6 +203,40 @@ def write_seq_hdr(width: int, height: int, *, sb128=0, filter_intra=1,
 
 
 
+
+
+def _write_segmentation(pb, seg_cfg, primary_none, update_map=1,
+                        temporal=0, update_data=1):
+    """Segmentation params mirroring _parse_segmentation (obu.py) /
+    reference obu.c:600-660. seg_cfg: list of up to 8 per-seg dicts."""
+    pb.put_bit(1)                       # enabled
+    if not primary_none:
+        pb.put_bit(update_map)
+        if update_map:
+            pb.put_bit(temporal)
+        pb.put_bit(update_data)
+        if not update_data:
+            return
+    for i in range(8):
+        d = seg_cfg[i] if i < len(seg_cfg) else {}
+        dq = d.get("delta_q", 0)
+        pb.put_bit(1 if dq else 0)
+        if dq:
+            pb.put_bits(dq & 0x1FF, 9)
+        for k in ("delta_lf_y_v", "delta_lf_y_h", "delta_lf_u",
+                  "delta_lf_v"):
+            v = d.get(k, 0)
+            pb.put_bit(1 if v else 0)
+            if v:
+                pb.put_bits(v & 0x7F, 7)
+        ref = d.get("ref", -1)
+        pb.put_bit(1 if ref >= 0 else 0)
+        if ref >= 0:
+            pb.put_bits(ref, 3)
+        pb.put_bit(d.get("skip", 0))
+        pb.put_bit(d.get("globalmv", 0))
+
+
 def _write_film_grain(pb, seq, fg, is_inter):
     """Film grain payload mirroring _parse_film_grain (obu.py) /
     reference obu.c:1066-1145. fg: dict of FilmGrainData-ish fields."""
@@ -256,7 +290,9 @@ def write_key_frame_hdr(seq, *, qidx=100, disable_cdf_update=0,
                         lf_levels=(0, 0, 0, 0), lf_sharpness=0,
                         mode_ref_delta=0, cdef_params=None,
                         lr_types=(0, 0, 0), lr_unit_shift=0,
-                        lr_uv_shift=0, film_grain=None,
+                        lr_uv_shift=0, film_grain=None, allow_sct=0,
+                        force_integer_mv=0, allow_intrabc=0,
+                        segmentation=None,
                         write_render_size=0,
                         tile_log2_cols=0, tile_log2_rows=0,
                         delta_q=0, delta_lf=0) -> PutBits:
@@ -268,14 +304,20 @@ def write_key_frame_hdr(seq, *, qidx=100, disable_cdf_update=0,
     pb.put_bit(1)            # show_frame
     # error_resilient: implied (KEY && show), no bit
     pb.put_bit(disable_cdf_update)
-    # allow_screen_content_tools: seq OFF -> no bit
+    if seq.screen_content_tools == 2:  # ADAPTIVE -> per-frame bit
+        pb.put_bit(allow_sct)
+    else:
+        allow_sct = int(seq.screen_content_tools)
+    if allow_sct and seq.force_integer_mv == 2:
+        pb.put_bit(force_integer_mv)
     pb.put_bit(0)            # frame_size_override
     if seq.order_hint:
         pb.put_bits(0, seq.order_hint_n_bits)  # frame_offset
     # primary_ref: KEY -> none; refresh flags: KEY+show -> 0xff, no bits
     # frame size: override=0 -> from seq; super_res: seq off -> no bit
     pb.put_bit(write_render_size)  # have_render_size
-    # no intrabc (sct off)
+    if allow_sct:                  # super_res off -> allow_intrabc bit
+        pb.put_bit(allow_intrabc)
     if not disable_cdf_update:
         pb.put_bit(0)        # 1 - refresh_context => refresh on
     # tiling: uniform
@@ -314,17 +356,21 @@ def write_key_frame_hdr(seq, *, qidx=100, disable_cdf_update=0,
     if qm:
         pb.put_bits(8, 4)    # qm_y
         pb.put_bits(8, 4)    # qm_u  (qm_v = qm_u, separate off)
-    pb.put_bit(0)            # segmentation enabled
-    all_lossless = qidx == 0  # (no seg, no dc/ac deltas in this writer)
+    if segmentation is None:
+        pb.put_bit(0)        # segmentation enabled
+    else:
+        _write_segmentation(pb, segmentation, primary_none=True)
+    all_lossless = qidx == 0 and segmentation is None
     if qidx:
         pb.put_bit(delta_q)  # delta_q present
         if delta_q:
             pb.put_bits(0, 2)    # res_log2
-            pb.put_bit(delta_lf)
-            if delta_lf:
-                pb.put_bits(0, 2)
-                pb.put_bit(1)    # multi
-    if not all_lossless:
+            if not allow_intrabc:
+                pb.put_bit(delta_lf)
+                if delta_lf:
+                    pb.put_bits(0, 2)
+                    pb.put_bit(1)    # multi
+    if not all_lossless and not allow_intrabc:
         # loopfilter (skipped entirely when all_lossless/intrabc)
         pb.put_bits(lf_levels[0], 6)
         pb.put_bits(lf_levels[1], 6)
@@ -335,8 +381,8 @@ def write_key_frame_hdr(seq, *, qidx=100, disable_cdf_update=0,
         pb.put_bit(mode_ref_delta)   # mode_ref_delta_enabled
         if mode_ref_delta:
             pb.put_bit(0)            # no update (defaults / primary-ref)
-    # cdef (only when not lossless)
-    if seq.cdef and not all_lossless:
+    # cdef (only when not lossless/intrabc)
+    if seq.cdef and not all_lossless and not allow_intrabc:
         damping, n_bits, ys, uvs = cdef_params or (0, 0, [0], [0])
         pb.put_bits(damping, 2)
         pb.put_bits(n_bits, 2)
@@ -378,13 +424,15 @@ def generate_intra_stream(width, height, *, qidx=100, seed=0, sb128=0,
                           lf_sharpness=0, mode_ref_delta=0,
                           cdef_params=None, lr_types=(0, 0, 0),
                           lr_unit_shift=0, lr_uv_shift=0,
-                          film_grain=None):
+                          film_grain=None, screen_content=0,
+                          allow_intrabc=0, segmentation=None):
     """Returns (ivf_bytes, list[(seq_hdr, frame_hdr, FramePlan)])."""
     seq_obu = write_seq_hdr(width, height, sb128=sb128,
                             filter_intra=filter_intra, hbd=hbd,
                             cdef=1 if cdef_params else 0,
                             restoration=1 if any(lr_types) else 0,
-                            film_grain=1 if film_grain else 0)
+                            film_grain=1 if film_grain else 0,
+                            screen_content=screen_content)
     # parse back our own header for a single source of truth
     seq = obu_mod.parse_sequence_header_standalone(seq_obu)
 
@@ -401,7 +449,9 @@ def generate_intra_stream(width, height, *, qidx=100, seed=0, sb128=0,
             lf_sharpness=lf_sharpness, mode_ref_delta=mode_ref_delta,
             cdef_params=cdef_params, lr_types=lr_types,
             lr_unit_shift=lr_unit_shift, lr_uv_shift=lr_uv_shift,
-            film_grain=film_grain)
+            film_grain=film_grain, allow_sct=1 if screen_content else 0,
+            force_integer_mv=1 if allow_intrabc else 0,
+            allow_intrabc=allow_intrabc, segmentation=segmentation)
         fh_pb.trailing_bits()
         fh_obu_payload = fh_pb.data()
 
@@ -415,6 +465,10 @@ def generate_intra_stream(width, height, *, qidx=100, seed=0, sb128=0,
 
         # generate tile payloads
         f = FrameContext(seq, fh)
+        if fh.allow_intrabc:
+            from dav1d_tpu.entropy.refmvs import RefMvsFrame
+            f.rf = RefMvsFrame(seq, fh, [0] * 7,
+                               [[0] * 7 for _ in range(7)], [None] * 7)
         plan = FramePlan(f)
         in_cdf = CdfContext.default(fh.quant.yac)
         tile_payloads = []
@@ -583,7 +637,10 @@ def write_inter_frame_hdr(seq, *, poc, refidx=(0,) * 7, qidx=100,
                           lf_levels=(0, 0, 0, 0), lf_sharpness=0,
                           mode_ref_delta=0, cdef_params=None,
                           lr_types=(0, 0, 0), lr_unit_shift=0,
-                          lr_uv_shift=0, film_grain=None) -> PutBits:
+                          lr_uv_shift=0, film_grain=None, allow_sct=0,
+                          force_integer_mv=0, segmentation=None,
+                          seg_update_map=1, seg_temporal=0,
+                          seg_update_data=1) -> PutBits:
     """Inter frame header payload matching parse_frame_hdr's inter branch
     (reference obu.c:308-1152). skip_mode_allowed must be the value the
     parser will derive (it depends on ref-slot POCs the writer can't see)."""
@@ -594,7 +651,12 @@ def write_inter_frame_hdr(seq, *, poc, refidx=(0,) * 7, qidx=100,
     pb.put_bit(1)                     # show_frame
     pb.put_bit(error_resilient)
     pb.put_bit(disable_cdf_update)
-    # allow_screen_content_tools: seq OFF -> no bit
+    if seq.screen_content_tools == 2:
+        pb.put_bit(allow_sct)
+    else:
+        allow_sct = int(seq.screen_content_tools)
+    if allow_sct and seq.force_integer_mv == 2:
+        pb.put_bit(force_integer_mv)
     pb.put_bit(0)                     # frame_size_override
     if seq.order_hint:
         pb.put_bits(poc & ((1 << seq.order_hint_n_bits) - 1),
@@ -612,7 +674,8 @@ def write_inter_frame_hdr(seq, *, poc, refidx=(0,) * 7, qidx=100,
     # read_frame_size(use_ref=0): size from seq (override=0); super_res
     # off at seq level -> no bit
     pb.put_bit(0)                     # have_render_size
-    pb.put_bit(hp)                    # force_integer_mv==0 for inter here
+    if not (allow_sct and force_integer_mv):
+        pb.put_bit(hp)
     if subpel_filter_switchable:
         pb.put_bit(1)
     else:
@@ -659,8 +722,14 @@ def write_inter_frame_hdr(seq, *, poc, refidx=(0,) * 7, qidx=100,
     if qm:
         pb.put_bits(8, 4)
         pb.put_bits(8, 4)
-    pb.put_bit(0)                     # segmentation enabled
-    all_lossless = qidx == 0
+    if segmentation is None:
+        pb.put_bit(0)                 # segmentation enabled
+    else:
+        _write_segmentation(pb, segmentation, primary_none=False,
+                            update_map=seg_update_map,
+                            temporal=seg_temporal,
+                            update_data=seg_update_data)
+    all_lossless = qidx == 0 and segmentation is None
     if qidx:
         pb.put_bit(delta_q)
         if delta_q:
@@ -747,7 +816,8 @@ def generate_stream(width, height, *, n_frames=4, qidx=100, seed=0,
                     lf_levels=(0, 0, 0, 0), lf_sharpness=0,
                     mode_ref_delta=0, cdef_params=None,
                     lr_types=(0, 0, 0), lr_unit_shift=0, lr_uv_shift=0,
-                    film_grain=None):
+                    film_grain=None, screen_content=0, segmentation=None,
+                    seg_update_map=1, seg_temporal=0, seg_update_data=1):
     """Key frame + (n_frames-1) inter frames, generated by driving OUR
     decoder's own frame pipeline with a GenCoder (so generator ref/CDF
     state == decoder state by construction).
@@ -768,7 +838,8 @@ def generate_stream(width, height, *, n_frames=4, qidx=100, seed=0,
         dual_filter=dual_filter, filter_intra=filter_intra, hbd=hbd,
         cdef=1 if cdef_params else 0,
         restoration=1 if any(lr_types) else 0,
-        film_grain=1 if film_grain else 0)
+        film_grain=1 if film_grain else 0,
+        screen_content=screen_content)
     seq = obu_mod.parse_sequence_header_standalone(seq_obu)
 
     dec = ObuStreamDecoder(do_recon=False)
@@ -791,7 +862,9 @@ def generate_stream(width, height, *, n_frames=4, qidx=100, seed=0,
                 lf_sharpness=lf_sharpness, mode_ref_delta=mode_ref_delta,
                 cdef_params=cdef_params, lr_types=lr_types,
                 lr_unit_shift=lr_unit_shift, lr_uv_shift=lr_uv_shift,
-                film_grain=film_grain)
+                film_grain=film_grain,
+                allow_sct=1 if screen_content else 0,
+                segmentation=segmentation)
         else:
             refidx = refidx_fn(fi) if refidx_fn else (0,) * 7
             refresh = refresh_fn(fi) if refresh_fn else 0x02
@@ -830,7 +903,11 @@ def generate_stream(width, height, *, n_frames=4, qidx=100, seed=0,
                 lf_sharpness=lf_sharpness, mode_ref_delta=mode_ref_delta,
                 cdef_params=cdef_params, lr_types=lr_types,
                 lr_unit_shift=lr_unit_shift, lr_uv_shift=lr_uv_shift,
-                film_grain=film_grain)
+                film_grain=film_grain,
+                allow_sct=1 if screen_content else 0,
+                segmentation=segmentation,
+                seg_update_map=seg_update_map, seg_temporal=seg_temporal,
+                seg_update_data=seg_update_data)
         fh_pb.trailing_bits()
         fh_payload = fh_pb.data()
 
