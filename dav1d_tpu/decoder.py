@@ -196,6 +196,7 @@ class ObuStreamDecoder:
         key_or_intra = not (fh.frame_type & 1)
 
         # reference setup (reference decode.c:3444-3489)
+        from .ops.mc_ref import scale_fac
         refp = [None] * 7
         if not key_or_intra:
             for i in range(7):
@@ -206,10 +207,21 @@ class ObuStreamDecoder:
                     raise obu_mod.ParseError("missing reference picture")
                 refp[i] = slot
                 f.refpoc[i] = slot.poc
-                if (fh.width[0] != slot.frame_hdr.width[0] or
-                        fh.height != slot.frame_hdr.height):
-                    raise NotImplementedError("scaled references (SVC)")
-                f.svc_scale[i] = 0
+                # stored pictures are post-super-res (width[1])
+                ref_w = slot.frame_hdr.width[1]
+                ref_h = slot.frame_hdr.height
+                if (fh.width[0] * 2 < ref_w or fh.height * 2 < ref_h or
+                        fh.width[0] > ref_w * 16 or
+                        fh.height > ref_h * 16):
+                    raise obu_mod.ParseError("ref scale out of range")
+                if ref_w != fh.width[0] or ref_h != fh.height:
+                    sx = scale_fac(ref_w, fh.width[0])
+                    sy = scale_fac(ref_h, fh.height)
+                    f.svc[i] = ((sx, (sx + 8) >> 4), (sy, (sy + 8) >> 4))
+                    f.svc_scale[i] = sx
+                else:
+                    f.svc[i] = ((0, 0), (0, 0))
+                    f.svc_scale[i] = 0
                 g = fh.gmv[i]
                 f.gmv_warp_allowed[i] = int(
                     g.type > WarpedMotionType.TRANSLATION and
@@ -305,6 +317,9 @@ class ObuStreamDecoder:
                 if need_lr else None
             from .ops.cdef_ref import apply_cdef
             apply_cdef(pic, plan)
+            if fh.width[0] != fh.width[1]:
+                from .ops.superres import apply_superres
+                pic, pre_cdef = apply_superres(pic, pre_cdef, plan)
             if need_lr:
                 from .ops.restore_ref import apply_lr
                 apply_lr(pic, pre_cdef, plan)

@@ -127,6 +127,7 @@ class FrameContext:
         # ref i; svc_scale nonzero when the ref is scaled (SVC)
         self.refpoc = [0] * 7
         self.svc_scale = [0] * 7
+        self.svc = [((0, 0), (0, 0))] * 7    # ((xscale,xstep),(yscale,ystep))
         self.gmv_warp_allowed = [0] * 7
         self.rf = None            # RefMvsFrame for inter frames
         self.prev_segmap = None   # (bh, bw) uint8 from the primary ref
@@ -190,7 +191,9 @@ class FramePlan:
         self.b4_filter = np.full((2, f.bh, f.bw), 4, np.uint8)  # 4 = N_SWITCHABLE
         self.cdef_idx = np.full(((f.bh + 15) >> 4, (f.bw + 15) >> 4), -1,
                                 np.int8)
-        n64h, n64w = (f.bh + 15) >> 4, (f.bw + 15) >> 4
+        n64h = (f.bh + 15) >> 4
+        # LR units live in post-super-res coords (>= coded width)
+        n64w = ((f.frame_hdr.width[1] + 63) >> 6) + 1
         self.lr_units = [[[None] * n64w for _ in range(n64h)]
                          for _ in range(3)]
 
@@ -286,8 +289,6 @@ class TileParser(InterParserMixin):
         f = self.f
         fh = f.frame_hdr
         rst = fh.restoration
-        if fh.width[0] != fh.width[1]:
-            raise NotImplementedError("LR with super-res")
         for p in range(3):
             if rst.type[p] == 0:        # RESTORATION_NONE
                 continue
@@ -303,15 +304,32 @@ class TileParser(InterParserMixin):
             half_unit = unit_size >> 1
             if y and y + half_unit > h:
                 continue
-            x = 4 * self.bx >> ss_hor
-            if x & mask:
-                continue
-            w = (fh.width[0] + ss_hor) >> ss_hor
-            if x and x + half_unit > w:
-                continue
-            self._read_restoration_info(p, rst.type[p])
+            if fh.width[0] != fh.width[1]:
+                # super-res: units live in upscaled coords; the sb's
+                # coverage maps back via the scale denominator
+                # (reference decode.c:2683-2699)
+                w = (fh.width[1] + ss_hor) >> ss_hor
+                n_units = max(1, (w + half_unit) >> unit_size_log2)
+                d = fh.super_res_width_scale_denominator
+                rnd = unit_size * 8 - 1
+                shift = unit_size_log2 + 3
+                x0 = ((4 * self.bx * d >> ss_hor) + rnd) >> shift
+                x1 = ((4 * (self.bx + f.sb_step) * d >> ss_hor) + rnd) \
+                    >> shift
+                for x in range(x0, min(x1, n_units)):
+                    px_x = x << (unit_size_log2 + ss_hor)
+                    self._read_restoration_info(p, rst.type[p],
+                                                x64=px_x >> 6)
+            else:
+                x = 4 * self.bx >> ss_hor
+                if x & mask:
+                    continue
+                w = (fh.width[0] + ss_hor) >> ss_hor
+                if x and x + half_unit > w:
+                    continue
+                self._read_restoration_info(p, rst.type[p])
 
-    def _read_restoration_info(self, p, frame_type):
+    def _read_restoration_info(self, p, frame_type, x64=None):
         """reference decode.c:2511-2576."""
         from .. import tables
         msac = self.msac
@@ -360,7 +378,9 @@ class TileParser(InterParserMixin):
                 print(f"Post-lr_sgrproj[pl={p},idx={idx},"
                       f"w[{lr['sgr_weights'][0]},{lr['sgr_weights'][1]}]]:"
                       f" r={msac.rng}")
-        self.plan.lr_units[p][self.by >> 4][self.bx >> 4] = lr
+        if x64 is None:
+            x64 = self.bx >> 4
+        self.plan.lr_units[p][self.by >> 4][x64] = lr
 
     # -- partition walk -------------------------------------------------
     def decode_sb(self, bl: int, node) -> None:

@@ -377,3 +377,156 @@ def ii_mask(layout_idx: int, bs: int, interintra_type: int,
 # Filter2d -> put/prep_8tap filter_type (h | v<<2); reference
 # mc_tmpl.c:968-977 init order with levels.h:184-196 enum
 FILTER2D_TO_TYPE = [0, 4, 8, 2, 6, 10, 1, 5, 9, -1]  # -1 = bilinear
+
+
+def put_8tap_scaled(src: np.ndarray, y: int, x: int, w: int, h: int,
+                    mx: int, my: int, dx: int, dy: int, filter_type: int,
+                    bpc: int) -> np.ndarray:
+    """reference mc_tmpl.c:189-245 put_8tap_scaled_c.
+    (y, x): position of the first sample; mx/my: initial 10-bit subpel
+    phases; dx/dy: per-pixel steps."""
+    ib = intermediate_bits(bpc)
+    irnd = (1 << ib) >> 1
+    sub = _subpel_filters()
+    out = np.zeros((h, w), np.int32)
+    # horizontal pass rows are produced on demand; emulate with a cache
+    hrows = {}
+
+    def hrow(sy):
+        if sy in hrows:
+            return hrows[sy]
+        row = np.zeros(w, np.int32)
+        imx, ioff = mx, 0
+        srow = src[y + sy].astype(np.int32)
+        for ox in range(w):
+            hmx = imx >> 6
+            if hmx:
+                fh = sub[filter_type & 3][hmx - 1] if w > 4 else \
+                    sub[3 + (filter_type & 1)][hmx - 1]
+                v = 0
+                for i in range(8):
+                    v += int(fh[i]) * int(srow[x + ioff - 3 + i])
+                row[ox] = _rnd(v, 6 - ib)
+            else:
+                row[ox] = int(srow[x + ioff]) << ib
+            imx += dx
+            ioff += imx >> 10
+            imx &= 0x3FF
+        hrows[sy] = row
+        return row
+
+    cmy = my
+    for oy in range(h):
+        src_y = cmy >> 10
+        vmy = (cmy & 0x3FF) >> 6
+        if vmy:
+            fv = sub[filter_type >> 2][vmy - 1] if h > 4 else \
+                sub[3 + ((filter_type >> 2) & 1)][vmy - 1]
+            v = np.zeros(w, np.int64)
+            for i in range(8):
+                v += int(fv[i]) * hrow(src_y - 3 + i).astype(np.int64)
+            out[oy] = np.clip(_rnd(v, 6 + ib), 0, (1 << bpc) - 1)
+        else:
+            out[oy] = np.clip((hrow(src_y) + irnd) >> ib, 0,
+                              (1 << bpc) - 1)
+        cmy += dy
+    return out
+
+
+def prep_8tap_scaled(src: np.ndarray, y: int, x: int, w: int, h: int,
+                     mx: int, my: int, dx: int, dy: int, filter_type: int,
+                     bpc: int) -> np.ndarray:
+    """reference mc_tmpl.c:307-360 prep_8tap_scaled_c."""
+    ib = intermediate_bits(bpc)
+    pb = prep_bias(bpc)
+    sub = _subpel_filters()
+    out = np.zeros((h, w), np.int32)
+    hrows = {}
+
+    def hrow(sy):
+        if sy in hrows:
+            return hrows[sy]
+        row = np.zeros(w, np.int32)
+        imx, ioff = mx, 0
+        srow = src[y + sy].astype(np.int32)
+        for ox in range(w):
+            hmx = imx >> 6
+            if hmx:
+                fh = sub[filter_type & 3][hmx - 1] if w > 4 else \
+                    sub[3 + (filter_type & 1)][hmx - 1]
+                v = 0
+                for i in range(8):
+                    v += int(fh[i]) * int(srow[x + ioff - 3 + i])
+                row[ox] = _rnd(v, 6 - ib)
+            else:
+                row[ox] = int(srow[x + ioff]) << ib
+            imx += dx
+            ioff += imx >> 10
+            imx &= 0x3FF
+        hrows[sy] = row
+        return row
+
+    cmy = my
+    for oy in range(h):
+        src_y = cmy >> 10
+        vmy = (cmy & 0x3FF) >> 6
+        if vmy:
+            fv = sub[filter_type >> 2][vmy - 1] if h > 4 else \
+                sub[3 + ((filter_type >> 2) & 1)][vmy - 1]
+            v = np.zeros(w, np.int64)
+            for i in range(8):
+                v += int(fv[i]) * hrow(src_y - 3 + i).astype(np.int64)
+            out[oy] = _rnd(v, 6) - pb
+        else:
+            out[oy] = hrow(src_y) - pb
+        cmy += dy
+    return out
+
+
+_RESIZE = None
+
+
+def _resize_filter():
+    global _RESIZE
+    if _RESIZE is None:
+        _RESIZE = tables.get("dav1d_resize_filter").astype(np.int32)
+    return _RESIZE
+
+
+def resize_row(src_row: np.ndarray, dst_w: int, src_w: int, dx: int,
+               mx0: int, bpc: int) -> np.ndarray:
+    """reference mc_tmpl.c:918-958 resize_c (one row)."""
+    F = _resize_filter()
+    out = np.zeros(dst_w, np.int32)
+    mx = mx0
+    src_x = -1
+    s = src_row.astype(np.int32)
+    for ox in range(dst_w):
+        f = F[mx >> 8]
+        v = 0
+        for i in range(8):
+            v += int(f[i]) * int(s[min(max(src_x - 3 + i, 0), src_w - 1)])
+        out[ox] = min(max((-v + 64) >> 7, 0), (1 << bpc) - 1)
+        mx += dx
+        src_x += mx >> 14
+        mx &= 0x3FFF
+    return out
+
+
+def scale_fac(ref_sz: int, this_sz: int) -> int:
+    return ((ref_sz << 14) + (this_sz >> 1)) // this_sz
+
+
+def get_upscale_x0(in_w: int, out_w: int, step: int) -> int:
+    """reference decode.c:3321-3325."""
+    err = out_w * step - (in_w << 14)
+    x0 = (-((out_w - in_w) << 13) + (out_w >> 1)) // out_w + 128 - (err // 2)
+    return x0 & 0x3FFF
+
+
+def resize_plane(src: np.ndarray, src_w: int, h: int, dst_w: int,
+                 step: int, mx0: int, bpc: int) -> np.ndarray:
+    out = np.zeros((h, dst_w), np.int32)
+    for yy in range(h):
+        out[yy] = resize_row(src[yy], dst_w, src_w, step, mx0, bpc)
+    return out

@@ -247,7 +247,9 @@ def apply_lr(pic, pre_cdef, plan) -> None:
             continue
         ss_ver = 1 if (plane and f.layout == 1) else 0
         ss_hor = 1 if (plane and f.layout != 3) else 0
-        w = (fh.width[0] + ss_hor) >> ss_hor
+        # LR runs on the post-super-res picture (reference
+        # lr_apply_tmpl.c uses f->sr_cur dims)
+        w = (fh.width[1] + ss_hor) >> ss_hor
         h = (fh.height + ss_ver) >> ss_ver
         us_log2 = rst.unit_size[1 if plane else 0]
         us = 1 << us_log2

@@ -89,6 +89,9 @@ class InterReconstructor(IntraReconstructor):
         ss_hor = int(bool(pl)) and f.ss_hor
         h_mul, v_mul = 4 >> ss_hor, 4 >> ss_ver
         mvy, mvx = mv
+        if not self_ref and f.svc[refidx][0][0]:
+            return self._mc_scaled(put, bw4, bh4, bx, by, pl, mv, refidx,
+                                   filter2d, ss_hor, ss_ver)
         mx = mvx & (15 >> (1 - ss_hor))
         my = mvy & (15 >> (1 - ss_ver))
         if self_ref:
@@ -123,6 +126,47 @@ class InterReconstructor(IntraReconstructor):
         if ft < 0:
             return mc_ref.prep_bilin(src, sy, sx, bw_px, bh_px, amx, amy, bd)
         return mc_ref.prep_8tap(src, sy, sx, bw_px, bh_px, amx, amy, ft, bd)
+
+    def _mc_scaled(self, put, bw4, bh4, bx, by, pl, mv, refidx, filter2d,
+                   ss_hor, ss_ver):
+        """Scaled-reference MC (reference recon_tmpl.c:995-1050 mc(),
+        else-branch): positions walk the reference picture at svc
+        scale/step granularity with 10-bit subpel phases."""
+        f = self.f
+        bd = self.bitdepth
+        h_mul, v_mul = 4 >> ss_hor, 4 >> ss_ver
+        mvy, mvx = mv
+        (xscale, xstep), (yscale, ystep) = f.svc[refidx]
+        orig_x = (bx * h_mul << 4) + mvx * (1 << (1 - ss_hor))
+        orig_y = (by * v_mul << 4) + mvy * (1 << (1 - ss_ver))
+
+        def scale_mv(val, scale):
+            tmp = val * scale + (scale - 0x4000) * 8
+            r = (abs(tmp) + 128) >> 8
+            return (r if tmp >= 0 else -r) + 32
+
+        pos_x = scale_mv(orig_x, xscale)
+        pos_y = scale_mv(orig_y, yscale)
+        bw_px, bh_px = bw4 * h_mul, bh4 * v_mul
+        left, top = pos_x >> 10, pos_y >> 10
+        right = ((pos_x + (bw_px - 1) * xstep) >> 10) + 1
+        bottom = ((pos_y + (bh_px - 1) * ystep) >> 10) + 1
+        slot = self.refp[refidx]
+        w = (slot.frame_hdr.width[1] + ss_hor) >> ss_hor
+        h = (slot.frame_hdr.height + ss_ver) >> ss_ver
+        ref = self._ref_plane(refidx, pl)
+        if left < 3 or top < 3 or right + 4 > w or bottom + 4 > h:
+            src = mc_ref.emu_edge(right - left + 7, bottom - top + 7,
+                                  w, h, left - 3, top - 3, ref)
+            sy, sx = 3, 3
+        else:
+            src, sy, sx = ref, top, left
+        ft = mc_ref.FILTER2D_TO_TYPE[filter2d]
+        if ft < 0:
+            raise NotImplementedError("scaled bilinear MC")
+        fn = mc_ref.put_8tap_scaled if put else mc_ref.prep_8tap_scaled
+        return fn(src, sy, sx, bw_px, bh_px, pos_x & 0x3ff, pos_y & 0x3ff,
+                  xstep, ystep, ft, bd)
 
     def _warp_affine(self, put, b_dim, pl, refidx, wmp):
         """reference recon_tmpl.c:1115-1168 warp_affine()."""

@@ -240,3 +240,73 @@ def test_emu_edge(bpc):
         exp = mc_ref.emu_edge(bw, bh, iw, ih, x, y, ref)
         np.testing.assert_array_equal(got, exp,
                                       err_msg=f"emu {bw}x{bh}@{x},{y}")
+
+
+@pytest.mark.parametrize("bpc", [8, 10])
+def test_scaled_8tap(bpc):
+    rng = np.random.default_rng(700 + bpc)
+    buf = io.BytesIO()
+    cases = []
+    for (w, h) in [(4, 4), (8, 8), (16, 16), (32, 16), (8, 4)]:
+        for f2d in (0, 5, 8):
+            for (dx, dy) in [(1024, 1024), (2048, 1365), (683, 2048),
+                             (1536, 1536)]:
+                mx = int(rng.integers(0, 1024))
+                my = int(rng.integers(0, 1024))
+                # src must cover [pos_y>>10 - 3, bottom+4) etc.; mirror
+                # the mc() bound computation
+                right = ((mx + (w - 1) * dx) >> 10) + 1
+                bottom = ((my + (h - 1) * dy) >> 10) + 1
+                sw, sh = right + 7 + 1, bottom + 7 + 1
+                src = _src(rng, sh, sw, bpc)
+                for op in (16, 17):
+                    buf.write(struct.pack("<BBHHBiiiiHH", op, bpc, w, h,
+                                          f2d, mx, my, dx, dy, sw, sh))
+                    buf.write(src.tobytes())
+                    cases.append((op, f2d, mx, my, dx, dy, w, h, src))
+    out = run_harness(buf.getvalue())
+    pos = 0
+    for (op, f2d, mx, my, dx, dy, w, h, src) in cases:
+        got = np.frombuffer(out[pos:pos + w * h * 2],
+                            np.uint16).reshape(h, w)
+        pos += w * h * 2
+        ft = mc_ref.FILTER2D_TO_TYPE[f2d]
+        assert ft >= 0
+        if op == 16:
+            exp = mc_ref.put_8tap_scaled(src, 3, 3, w, h, mx, my, dx, dy,
+                                         ft, bpc)
+            np.testing.assert_array_equal(
+                got.astype(np.int32), exp,
+                err_msg=f"put_scaled f2d={f2d} {w}x{h} d={dx},{dy}")
+        else:
+            exp = mc_ref.prep_8tap_scaled(src, 3, 3, w, h, mx, my, dx,
+                                          dy, ft, bpc)
+            np.testing.assert_array_equal(
+                got.view(np.int16).astype(np.int32), exp,
+                err_msg=f"prep_scaled f2d={f2d} {w}x{h} d={dx},{dy}")
+
+
+@pytest.mark.parametrize("bpc", [8, 10])
+def test_resize(bpc):
+    rng = np.random.default_rng(800 + bpc)
+    buf = io.BytesIO()
+    cases = []
+    for (src_w, dst_w, h) in [(64, 96, 8), (64, 128, 4), (80, 91, 6),
+                              (32, 60, 5)]:
+        step = mc_ref.scale_fac(src_w, dst_w)
+        mx0 = mc_ref.get_upscale_x0(src_w, dst_w, step)
+        src = _src(rng, h, src_w, bpc)
+        buf.write(struct.pack("<BBHHiiii", 18, bpc, 0, h, dst_w, src_w,
+                              step, mx0))
+        buf.write(src.tobytes())
+        cases.append((src_w, dst_w, h, step, mx0, src))
+    out = run_harness(buf.getvalue())
+    pos = 0
+    for (src_w, dst_w, h, step, mx0, src) in cases:
+        got = np.frombuffer(out[pos:pos + dst_w * h * 2],
+                            np.uint16).reshape(h, dst_w)
+        pos += dst_w * h * 2
+        exp = mc_ref.resize_plane(src, src_w, h, dst_w, step, mx0, bpc)
+        np.testing.assert_array_equal(
+            got.astype(np.int32), exp,
+            err_msg=f"resize {src_w}->{dst_w} h={h}")

@@ -192,6 +192,68 @@ int main(int argc, char **argv) {
                     fwrite(t, 2, 64, out);
                 }
             }
+        } else if (op == 16 || op == 17) {
+            uint8_t f2d;
+            int32_t mx, my, dxs, dys;
+            uint16_t sw, sh;
+            fread(&f2d, 1, 1, in);
+            fread(&mx, 4, 1, in); fread(&my, 4, 1, in);
+            fread(&dxs, 4, 1, in); fread(&dys, 4, 1, in);
+            fread(&sw, 2, 1, in); fread(&sh, 2, 1, in);
+            uint16_t *s16 = malloc((size_t)sw * sh * 2);
+            fread(s16, 2, (size_t)sw * sh, in);
+            if (bpc == 8) {
+                uint8_t *s8 = malloc((size_t)sw * sh);
+                for (int i = 0; i < sw * sh; i++) s8[i] = (uint8_t)s16[i];
+                if (op == 16) {
+                    uint8_t *d8 = malloc((size_t)w * h);
+                    ((void (*)(uint8_t*,ptrdiff_t,const uint8_t*,ptrdiff_t,int,int,int,int,int,int))
+                     c8.mc_scaled[f2d])(d8, w, s8 + 3 * sw + 3, sw, w, h, mx, my, dxs, dys);
+                    for (int i = 0; i < w * h; i++) { uint16_t v = d8[i]; fwrite(&v, 2, 1, out); }
+                    free(d8);
+                } else {
+                    int16_t *t = malloc((size_t)w * h * 2);
+                    ((void (*)(int16_t*,const uint8_t*,ptrdiff_t,int,int,int,int,int,int))
+                     c8.mct_scaled[f2d])(t, s8 + 3 * sw + 3, sw, w, h, mx, my, dxs, dys);
+                    fwrite(t, 2, (size_t)w * h, out);
+                    free(t);
+                }
+                free(s8);
+            } else {
+                if (op == 16) {
+                    uint16_t *d = malloc((size_t)w * h * 2);
+                    c16.mc_scaled[f2d](d, w * 2, s16 + 3 * sw + 3, sw * 2, w, h, mx, my, dxs, dys, bdmax);
+                    fwrite(d, 2, (size_t)w * h, out);
+                    free(d);
+                } else {
+                    int16_t *t = malloc((size_t)w * h * 2);
+                    c16.mct_scaled[f2d](t, s16 + 3 * sw + 3, sw * 2, w, h, mx, my, dxs, dys, bdmax);
+                    fwrite(t, 2, (size_t)w * h, out);
+                    free(t);
+                }
+            }
+            free(s16);
+        } else if (op == 18) {
+            /* resize: i32 dst_w, src_w, dx, mx0; u16 src[h][src_w+?] */
+            int32_t dst_w, src_w, rdx, mx0;
+            fread(&dst_w, 4, 1, in); fread(&src_w, 4, 1, in);
+            fread(&rdx, 4, 1, in); fread(&mx0, 4, 1, in);
+            uint16_t *s16 = malloc((size_t)src_w * h * 2);
+            fread(s16, 2, (size_t)src_w * h, in);
+            if (bpc == 8) {
+                uint8_t *s8 = malloc((size_t)src_w * h), *d8 = malloc((size_t)dst_w * h);
+                for (int i = 0; i < src_w * h; i++) s8[i] = (uint8_t)s16[i];
+                ((void (*)(uint8_t*,ptrdiff_t,const uint8_t*,ptrdiff_t,int,int,int,int,int))
+                 c8.resize)(d8, dst_w, s8, src_w, dst_w, h, src_w, rdx, mx0);
+                for (int i = 0; i < dst_w * h; i++) { uint16_t v = d8[i]; fwrite(&v, 2, 1, out); }
+                free(s8); free(d8);
+            } else {
+                uint16_t *d = malloc((size_t)dst_w * h * 2);
+                c16.resize(d, dst_w * 2, s16, src_w * 2, dst_w, h, src_w, rdx, mx0, bdmax);
+                fwrite(d, 2, (size_t)dst_w * h, out);
+                free(d);
+            }
+            free(s16);
         } else if (op == 15) {
             int32_t bw, bh, iw, ih, x, y;
             fread(&bw, 4, 1, in); fread(&bh, 4, 1, in); fread(&iw, 4, 1, in);

@@ -141,7 +141,7 @@ def write_seq_hdr(width: int, height: int, *, sb128=0, filter_intra=1,
                   order_hint=0, screen_content=0, monochrome=0,
                   inter_intra=0, masked_compound=0, warped_motion=0,
                   dual_filter=0, jnt_comp=0, ref_frame_mvs=0,
-                  film_grain=0, layout420=True) -> bytes:
+                  film_grain=0, super_res=0, layout420=True) -> bytes:
     """Profile-0 (8/10-bit 4:2:0) sequence header matching parse_seq_hdr
     field order (reference obu.c:72-300)."""
     pb = PutBits()
@@ -182,7 +182,7 @@ def write_seq_hdr(width: int, height: int, *, sb128=0, filter_intra=1,
         pb.put_bit(1)
     if order_hint:
         pb.put_bits(6, 3)    # order_hint_n_bits - 1 = 7
-    pb.put_bit(0)            # super_res
+    pb.put_bit(super_res)    # super_res
     pb.put_bit(cdef)
     pb.put_bit(restoration)
     pb.put_bit(1 if hbd else 0)   # hbd (profile 0: 0=8, 1=10)
@@ -293,7 +293,7 @@ def write_key_frame_hdr(seq, *, qidx=100, disable_cdf_update=0,
                         lr_uv_shift=0, film_grain=None, allow_sct=0,
                         force_integer_mv=0, allow_intrabc=0,
                         segmentation=None,
-                        write_render_size=0,
+                        write_render_size=0, superres_denom=8,
                         tile_log2_cols=0, tile_log2_rows=0,
                         delta_q=0, delta_lf=0) -> PutBits:
     """Key-frame header payload (no OBU wrap), matching parse_frame_hdr.
@@ -314,16 +314,25 @@ def write_key_frame_hdr(seq, *, qidx=100, disable_cdf_update=0,
     if seq.order_hint:
         pb.put_bits(0, seq.order_hint_n_bits)  # frame_offset
     # primary_ref: KEY -> none; refresh flags: KEY+show -> 0xff, no bits
-    # frame size: override=0 -> from seq; super_res: seq off -> no bit
+    # frame size: override=0 -> from seq
+    if seq.super_res:
+        pb.put_bit(1 if superres_denom > 8 else 0)
+        if superres_denom > 8:
+            pb.put_bits(superres_denom - 9, 3)
     pb.put_bit(write_render_size)  # have_render_size
-    if allow_sct:                  # super_res off -> allow_intrabc bit
+    if allow_sct and superres_denom == 8:
+        # super-res on -> no allow_intrabc bit (parser forces 0)
         pb.put_bit(allow_intrabc)
     if not disable_cdf_update:
         pb.put_bit(0)        # 1 - refresh_context => refresh on
     # tiling: uniform
     pb.put_bit(1)
     sbsz_log2 = 6 + seq.sb128
-    sbw = (seq.max_width + (1 << sbsz_log2) - 1) >> sbsz_log2
+    cw = seq.max_width
+    if superres_denom > 8:     # tiling runs on the coded (downscaled) width
+        cw = max((cw * 8 + (superres_denom >> 1)) // superres_denom,
+                 min(16, cw))
+    sbw = (cw + (1 << sbsz_log2) - 1) >> sbsz_log2
     sbh = (seq.max_height + (1 << sbsz_log2) - 1) >> sbsz_log2
     from dav1d_tpu.bitstream.obu import tile_log2
     max_tw_sb = 4096 >> sbsz_log2
@@ -425,14 +434,16 @@ def generate_intra_stream(width, height, *, qidx=100, seed=0, sb128=0,
                           cdef_params=None, lr_types=(0, 0, 0),
                           lr_unit_shift=0, lr_uv_shift=0,
                           film_grain=None, screen_content=0,
-                          allow_intrabc=0, segmentation=None):
+                          allow_intrabc=0, segmentation=None,
+                          superres_denom=None):
     """Returns (ivf_bytes, list[(seq_hdr, frame_hdr, FramePlan)])."""
     seq_obu = write_seq_hdr(width, height, sb128=sb128,
                             filter_intra=filter_intra, hbd=hbd,
                             cdef=1 if cdef_params else 0,
                             restoration=1 if any(lr_types) else 0,
                             film_grain=1 if film_grain else 0,
-                            screen_content=screen_content)
+                            screen_content=screen_content,
+                            super_res=1 if superres_denom else 0)
     # parse back our own header for a single source of truth
     seq = obu_mod.parse_sequence_header_standalone(seq_obu)
 
@@ -451,7 +462,8 @@ def generate_intra_stream(width, height, *, qidx=100, seed=0, sb128=0,
             lr_unit_shift=lr_unit_shift, lr_uv_shift=lr_uv_shift,
             film_grain=film_grain, allow_sct=1 if screen_content else 0,
             force_integer_mv=1 if allow_intrabc else 0,
-            allow_intrabc=allow_intrabc, segmentation=segmentation)
+            allow_intrabc=allow_intrabc, segmentation=segmentation,
+            superres_denom=superres_denom or 8)
         fh_pb.trailing_bits()
         fh_obu_payload = fh_pb.data()
 
@@ -640,7 +652,8 @@ def write_inter_frame_hdr(seq, *, poc, refidx=(0,) * 7, qidx=100,
                           lr_uv_shift=0, film_grain=None, allow_sct=0,
                           force_integer_mv=0, segmentation=None,
                           seg_update_map=1, seg_temporal=0,
-                          seg_update_data=1) -> PutBits:
+                          seg_update_data=1, superres_denom=8,
+                          frame_size=None) -> PutBits:
     """Inter frame header payload matching parse_frame_hdr's inter branch
     (reference obu.c:308-1152). skip_mode_allowed must be the value the
     parser will derive (it depends on ref-slot POCs the writer can't see)."""
@@ -657,7 +670,7 @@ def write_inter_frame_hdr(seq, *, poc, refidx=(0,) * 7, qidx=100,
         allow_sct = int(seq.screen_content_tools)
     if allow_sct and seq.force_integer_mv == 2:
         pb.put_bit(force_integer_mv)
-    pb.put_bit(0)                     # frame_size_override
+    pb.put_bit(1 if frame_size else 0)  # frame_size_override
     if seq.order_hint:
         pb.put_bits(poc & ((1 << seq.order_hint_n_bits) - 1),
                     seq.order_hint_n_bits)
@@ -671,8 +684,18 @@ def write_inter_frame_hdr(seq, *, poc, refidx=(0,) * 7, qidx=100,
         pb.put_bit(0)                 # frame_ref_short_signaling
     for i in range(7):
         pb.put_bits(refidx[i], 3)
-    # read_frame_size(use_ref=0): size from seq (override=0); super_res
-    # off at seq level -> no bit
+    # read_frame_size: override=1 -> 7 "use ref size" bits (all 0) then
+    # an explicit size; else size from seq
+    if frame_size:
+        if not error_resilient:
+            for _ in range(7):
+                pb.put_bit(0)
+        pb.put_bits(frame_size[0] - 1, seq.width_n_bits)
+        pb.put_bits(frame_size[1] - 1, seq.height_n_bits)
+    if seq.super_res:
+        pb.put_bit(1 if superres_denom > 8 else 0)
+        if superres_denom > 8:
+            pb.put_bits(superres_denom - 9, 3)
     pb.put_bit(0)                     # have_render_size
     if not (allow_sct and force_integer_mv):
         pb.put_bit(hp)
@@ -690,8 +713,13 @@ def write_inter_frame_hdr(seq, *, poc, refidx=(0,) * 7, qidx=100,
     pb.put_bit(1)
     from dav1d_tpu.bitstream.obu import tile_log2
     sbsz_log2 = 6 + seq.sb128
-    sbw = (seq.max_width + (1 << sbsz_log2) - 1) >> sbsz_log2
-    sbh = (seq.max_height + (1 << sbsz_log2) - 1) >> sbsz_log2
+    fw = frame_size[0] if frame_size else seq.max_width
+    fhh = frame_size[1] if frame_size else seq.max_height
+    if superres_denom > 8:
+        fw = max((fw * 8 + (superres_denom >> 1)) // superres_denom,
+                 min(16, fw))
+    sbw = (fw + (1 << sbsz_log2) - 1) >> sbsz_log2
+    sbh = (fhh + (1 << sbsz_log2) - 1) >> sbsz_log2
     max_tw_sb = 4096 >> sbsz_log2
     min_log2_cols = tile_log2(max_tw_sb, sbw)
     max_log2_cols = tile_log2(1, min(sbw, 64))
@@ -817,7 +845,8 @@ def generate_stream(width, height, *, n_frames=4, qidx=100, seed=0,
                     mode_ref_delta=0, cdef_params=None,
                     lr_types=(0, 0, 0), lr_unit_shift=0, lr_uv_shift=0,
                     film_grain=None, screen_content=0, segmentation=None,
-                    seg_update_map=1, seg_temporal=0, seg_update_data=1):
+                    seg_update_map=1, seg_temporal=0, seg_update_data=1,
+                    superres_denom=None, frame_size_fn=None):
     """Key frame + (n_frames-1) inter frames, generated by driving OUR
     decoder's own frame pipeline with a GenCoder (so generator ref/CDF
     state == decoder state by construction).
@@ -839,7 +868,8 @@ def generate_stream(width, height, *, n_frames=4, qidx=100, seed=0,
         cdef=1 if cdef_params else 0,
         restoration=1 if any(lr_types) else 0,
         film_grain=1 if film_grain else 0,
-        screen_content=screen_content)
+        screen_content=screen_content,
+        super_res=1 if superres_denom else 0)
     seq = obu_mod.parse_sequence_header_standalone(seq_obu)
 
     dec = ObuStreamDecoder(do_recon=False)
@@ -864,7 +894,8 @@ def generate_stream(width, height, *, n_frames=4, qidx=100, seed=0,
                 lr_unit_shift=lr_unit_shift, lr_uv_shift=lr_uv_shift,
                 film_grain=film_grain,
                 allow_sct=1 if screen_content else 0,
-                segmentation=segmentation)
+                segmentation=segmentation,
+                superres_denom=superres_denom or 8)
         else:
             refidx = refidx_fn(fi) if refidx_fn else (0,) * 7
             refresh = refresh_fn(fi) if refresh_fn else 0x02
@@ -907,7 +938,9 @@ def generate_stream(width, height, *, n_frames=4, qidx=100, seed=0,
                 allow_sct=1 if screen_content else 0,
                 segmentation=segmentation,
                 seg_update_map=seg_update_map, seg_temporal=seg_temporal,
-                seg_update_data=seg_update_data)
+                seg_update_data=seg_update_data,
+                superres_denom=superres_denom or 8,
+                frame_size=frame_size_fn(fi) if frame_size_fn else None)
         fh_pb.trailing_bits()
         fh_payload = fh_pb.data()
 
