@@ -42,14 +42,29 @@ class GenCoder:
         self.allow_update_cdf = not disable_cdf_update
         # optional forced outcomes: maps id(root cdf array) -> value
         self.force = force or {}
+        # forbidden symbol values: id(cdf array, any view level) -> set
+        self.forbid = {}
+        # forced value for raw decode_bool (422 edge partitions)
+        self.force_bool = None
 
     # -- helpers --------------------------------------------------------
+    def _forbidden(self, cdf):
+        a = cdf
+        while a is not None:
+            bad = self.forbid.get(id(a))
+            if bad:
+                return bad
+            a = getattr(a, "base", None)
+        return ()
+
     def _pick_symbol(self, cdf, n_symbols: int) -> int:
         root = cdf.base if cdf.base is not None else cdf
         if id(root) in self.force:
             return min(self.force[id(root)], n_symbols)
+        bad = self._forbidden(cdf)
         if self.rng.random() < self.mix:
-            return int(self.rng.integers(0, n_symbols + 1))
+            allowed = [v for v in range(n_symbols + 1) if v not in bad]
+            return int(self.rng.choice(allowed))
         # sample from the actual distribution: cdf[i] = Q15 inverse cdf
         probs = np.empty(n_symbols + 1, np.float64)
         prev = 32768
@@ -58,6 +73,9 @@ class GenCoder:
             probs[i] = max(prev - cur, 1)
             prev = cur
         probs[n_symbols] = max(prev, 1)
+        for v in bad:
+            if v <= n_symbols:
+                probs[v] = 0
         probs /= probs.sum()
         return int(self.rng.choice(n_symbols + 1, p=probs))
 
@@ -82,7 +100,8 @@ class GenCoder:
         return bit
 
     def decode_bool(self, f: int) -> int:
-        bit = self._pick_bool(f)
+        bit = self.force_bool if self.force_bool is not None \
+            else self._pick_bool(f)
         self.enc.encode_bool(bit, f)
         return bit
 
@@ -132,6 +151,18 @@ class GenCoder:
         return tok
 
 
+def apply_coder_restrictions(coder, seq, cdf):
+    """Keep sampled symbols inside what the reference accepts:
+    4:2:2 forbids vertical partition shapes (reference decode.c:2151-2156,
+    2356-2357)."""
+    from dav1d_tpu.entropy import levels as lv
+    if int(seq.layout) == 2:   # I422
+        coder.forbid[id(cdf.m.partition)] = {
+            lv.PARTITION_V, lv.PARTITION_V4,
+            lv.PARTITION_T_LEFT_SPLIT, lv.PARTITION_T_RIGHT_SPLIT}
+        coder.force_bool = 1   # edge-branch !is_split would imply V
+
+
 # ---------------------------------------------------------------------------
 # header writers
 # ---------------------------------------------------------------------------
@@ -141,11 +172,21 @@ def write_seq_hdr(width: int, height: int, *, sb128=0, filter_intra=1,
                   order_hint=0, screen_content=0, monochrome=0,
                   inter_intra=0, masked_compound=0, warped_motion=0,
                   dual_filter=0, jnt_comp=0, ref_frame_mvs=0,
-                  film_grain=0, super_res=0, layout420=True) -> bytes:
-    """Profile-0 (8/10-bit 4:2:0) sequence header matching parse_seq_hdr
-    field order (reference obu.c:72-300)."""
+                  film_grain=0, super_res=0, layout=1) -> bytes:
+    """Sequence header matching parse_seq_hdr field order (reference
+    obu.c:72-300). layout: 0=I400(monochrome) 1=I420 2=I422 3=I444;
+    hbd: 0=8-bit 1=10-bit 2=12-bit. The profile is derived:
+    420/mono 8-10bit -> 0, 444 8-10bit -> 1, 422 or 12-bit -> 2."""
+    if monochrome:
+        layout = 0
+    if hbd == 2 or layout == 2:
+        profile = 2
+    elif layout == 3:
+        profile = 1
+    else:
+        profile = 0
     pb = PutBits()
-    pb.put_bits(0, 3)        # profile 0
+    pb.put_bits(profile, 3)
     pb.put_bit(0)            # still_picture
     pb.put_bit(0)            # reduced_still_picture_header
     pb.put_bit(0)            # timing_info_present
@@ -185,16 +226,24 @@ def write_seq_hdr(width: int, height: int, *, sb128=0, filter_intra=1,
     pb.put_bit(super_res)    # super_res
     pb.put_bit(cdef)
     pb.put_bit(restoration)
-    pb.put_bit(1 if hbd else 0)   # hbd (profile 0: 0=8, 1=10)
-    pb.put_bit(monochrome)        # monochrome (profile 0 reads this)
+    pb.put_bit(1 if hbd else 0)   # hbd
+    if profile == 2 and hbd:
+        pb.put_bit(1 if hbd == 2 else 0)   # twelve_bit
+    if profile != 1:
+        pb.put_bit(monochrome)
     pb.put_bit(0)            # color_description_present
-    if not monochrome or True:
-        pass
     if monochrome:
         pb.put_bit(0)        # color_range
     else:
         pb.put_bit(0)        # color_range (studio)
-        pb.put_bits(0, 2)    # chroma sample position (420)
+        ss_hor = 1 if layout in (1, 2) else 0
+        ss_ver = 1 if layout == 1 else 0
+        if profile == 2 and hbd == 2:
+            pb.put_bit(ss_hor)
+            if ss_hor:
+                pb.put_bit(ss_ver)
+        if ss_hor and ss_ver:
+            pb.put_bits(0, 2)    # chroma sample position (420)
         pb.put_bit(0)        # separate_uv_delta_q
     pb.put_bit(film_grain)   # film_grain_present
     pb.trailing_bits()
@@ -358,9 +407,10 @@ def write_key_frame_hdr(seq, *, qidx=100, disable_cdf_update=0,
     # quant
     pb.put_bits(qidx, 8)
     pb.put_bit(0)            # ydc_delta present
-    # not monochrome: no diff_uv (separate off), udc, uac
-    pb.put_bit(0)
-    pb.put_bit(0)
+    if not seq.monochrome:
+        # no diff_uv (separate off); udc/uac present bits
+        pb.put_bit(0)
+        pb.put_bit(0)
     pb.put_bit(qm)
     if qm:
         pb.put_bits(8, 4)    # qm_y
@@ -383,7 +433,7 @@ def write_key_frame_hdr(seq, *, qidx=100, disable_cdf_update=0,
         # loopfilter (skipped entirely when all_lossless/intrabc)
         pb.put_bits(lf_levels[0], 6)
         pb.put_bits(lf_levels[1], 6)
-        if lf_levels[0] or lf_levels[1]:
+        if not seq.monochrome and (lf_levels[0] or lf_levels[1]):
             pb.put_bits(lf_levels[2], 6)
             pb.put_bits(lf_levels[3], 6)
         pb.put_bits(lf_sharpness, 3)
@@ -435,7 +485,7 @@ def generate_intra_stream(width, height, *, qidx=100, seed=0, sb128=0,
                           lr_unit_shift=0, lr_uv_shift=0,
                           film_grain=None, screen_content=0,
                           allow_intrabc=0, segmentation=None,
-                          superres_denom=None):
+                          superres_denom=None, layout=1, monochrome=0):
     """Returns (ivf_bytes, list[(seq_hdr, frame_hdr, FramePlan)])."""
     seq_obu = write_seq_hdr(width, height, sb128=sb128,
                             filter_intra=filter_intra, hbd=hbd,
@@ -443,7 +493,8 @@ def generate_intra_stream(width, height, *, qidx=100, seed=0, sb128=0,
                             restoration=1 if any(lr_types) else 0,
                             film_grain=1 if film_grain else 0,
                             screen_content=screen_content,
-                            super_res=1 if superres_denom else 0)
+                            super_res=1 if superres_denom else 0,
+                            layout=layout, monochrome=monochrome)
     # parse back our own header for a single source of truth
     seq = obu_mod.parse_sequence_header_standalone(seq_obu)
 
@@ -493,6 +544,7 @@ def generate_intra_stream(width, height, *, qidx=100, seed=0, sb128=0,
                                  disable_cdf_update=disable_cdf_update)
                 if force_skip is not None:
                     coder.force[id(cdf.m.skip)] = force_skip
+                apply_coder_restrictions(coder, seq, cdf)
                 tp = TileParser(f, plan, b"", tr, tc, cdf)
                 tp.msac = coder
                 tp.parse_tile()
@@ -744,8 +796,9 @@ def write_inter_frame_hdr(seq, *, poc, refidx=(0,) * 7, qidx=100,
     # quant
     pb.put_bits(qidx, 8)
     pb.put_bit(0)                     # ydc delta
-    pb.put_bit(0)                     # udc
-    pb.put_bit(0)                     # uac
+    if not seq.monochrome:
+        pb.put_bit(0)                 # udc
+        pb.put_bit(0)                 # uac
     pb.put_bit(qm)
     if qm:
         pb.put_bits(8, 4)
@@ -769,7 +822,7 @@ def write_inter_frame_hdr(seq, *, poc, refidx=(0,) * 7, qidx=100,
     if not all_lossless:
         pb.put_bits(lf_levels[0], 6)
         pb.put_bits(lf_levels[1], 6)
-        if lf_levels[0] or lf_levels[1]:
+        if not seq.monochrome and (lf_levels[0] or lf_levels[1]):
             pb.put_bits(lf_levels[2], 6)
             pb.put_bits(lf_levels[3], 6)
         pb.put_bits(lf_sharpness, 3)
@@ -782,7 +835,8 @@ def write_inter_frame_hdr(seq, *, poc, refidx=(0,) * 7, qidx=100,
         pb.put_bits(n_bits, 2)
         for i in range(1 << n_bits):
             pb.put_bits(ys[i], 6)
-            pb.put_bits(uvs[i], 6)
+            if not seq.monochrome:
+                pb.put_bits(uvs[i], 6)
     if seq.restoration and not all_lossless:
         t0, t1, t2 = lr_types
         pb.put_bits(t0, 2)
@@ -846,7 +900,8 @@ def generate_stream(width, height, *, n_frames=4, qidx=100, seed=0,
                     lr_types=(0, 0, 0), lr_unit_shift=0, lr_uv_shift=0,
                     film_grain=None, screen_content=0, segmentation=None,
                     seg_update_map=1, seg_temporal=0, seg_update_data=1,
-                    superres_denom=None, frame_size_fn=None):
+                    superres_denom=None, frame_size_fn=None, layout=1,
+                    monochrome=0):
     """Key frame + (n_frames-1) inter frames, generated by driving OUR
     decoder's own frame pipeline with a GenCoder (so generator ref/CDF
     state == decoder state by construction).
@@ -869,7 +924,8 @@ def generate_stream(width, height, *, n_frames=4, qidx=100, seed=0,
         restoration=1 if any(lr_types) else 0,
         film_grain=1 if film_grain else 0,
         screen_content=screen_content,
-        super_res=1 if superres_denom else 0)
+        super_res=1 if superres_denom else 0,
+        layout=layout, monochrome=monochrome)
     seq = obu_mod.parse_sequence_header_standalone(seq_obu)
 
     dec = ObuStreamDecoder(do_recon=False)
@@ -956,6 +1012,7 @@ def generate_stream(width, height, *, n_frames=4, qidx=100, seed=0,
                          disable_cdf_update=disable_cdf_update)
             if force_skip is not None:
                 c.force[id(cdf.m.skip)] = force_skip
+            apply_coder_restrictions(c, seq, cdf)
             return c
 
         plan = dec._decode_frame(coder_factory=factory)
