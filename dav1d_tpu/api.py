@@ -1,13 +1,42 @@
-"""Public decoder API (push/pull contract of reference include/dav1d/dav1d.h).
+"""Public decoder API: the push/pull contract of the reference's
+include/dav1d/dav1d.h (dav1d_open / dav1d_send_data /
+dav1d_get_picture / dav1d_flush / dav1d_close,
+dav1d_parse_sequence_header), with Dav1dSettings equivalents
+(dav1d.h:78-99) honored by the pipeline:
 
-Placeholder during bring-up; filled in as the pipeline lands.
+- apply_grain            -> out-of-loop film grain on output pictures
+- operating_point        -> OBU temporal/spatial layer filtering
+                            (reference obu.c:1203-1210)
+- all_layers             -> emit every spatial layer vs highest only
+- frame_size_limit       -> reject frames above the pixel budget
+- inloop_filters         -> mask of deblock(1)/cdef(2)/restoration(4)
+- decode_frame_type      -> all/reference/intra/key frame filtering
+                            (reference obu.c:1528-1658)
+- output_invisible_frames-> emit show_frame=0 frames as they decode
+- strict_std_compliance  -> strict header validation
 """
+from __future__ import annotations
+
+from collections import deque
 from dataclasses import dataclass
+
+INLOOPFILTER_NONE = 0
+INLOOPFILTER_DEBLOCK = 1
+INLOOPFILTER_CDEF = 2
+INLOOPFILTER_RESTORATION = 4
+INLOOPFILTER_ALL = 7
+
+DECODEFRAMETYPE_ALL = 0
+DECODEFRAMETYPE_REFERENCE = 1
+DECODEFRAMETYPE_INTRA = 2
+DECODEFRAMETYPE_KEY = 3
 
 
 @dataclass
 class Settings:
-    """Mirrors Dav1dSettings (reference dav1d.h:78-99)."""
+    """Mirrors Dav1dSettings (reference dav1d.h:78-99). Threading
+    fields are accepted for API parity; the Python golden path decodes
+    synchronously (the TPU pipeline parallelizes per-frame instead)."""
     n_threads: int = 0
     max_frame_delay: int = 0
     apply_grain: bool = True
@@ -16,16 +45,80 @@ class Settings:
     frame_size_limit: int = 0
     strict_std_compliance: bool = False
     output_invisible_frames: bool = False
-    inloop_filters: int = 0xF
-    decode_frame_type: int = 0
+    inloop_filters: int = INLOOPFILTER_ALL
+    decode_frame_type: int = DECODEFRAMETYPE_ALL
+
+
+class DecodeError(Exception):
+    pass
 
 
 class Decoder:
+    """dav1d_open/send_data/get_picture/flush/close equivalent.
+
+    send_data() accepts raw OBU data (a temporal unit, or any
+    concatenation of OBUs); get_picture() returns the next decoded
+    Picture or None when more input is needed."""
+
     def __init__(self, settings: Settings | None = None):
+        from .decoder import ObuStreamDecoder
         self.settings = settings or Settings()
+        self._dec = ObuStreamDecoder(settings=self.settings)
+        self._pending: deque = deque()
+        self._out: deque = deque()
 
+    # -- dav1d_send_data ------------------------------------------------
     def send_data(self, data: bytes) -> None:
-        raise NotImplementedError
+        if not isinstance(data, (bytes, bytearray, memoryview)):
+            raise TypeError("data must be bytes-like")
+        if data:
+            self._pending.append(bytes(data))
 
+    # -- dav1d_get_picture ----------------------------------------------
     def get_picture(self):
-        raise NotImplementedError
+        while not self._out and self._pending:
+            chunk = self._pending.popleft()
+            for res in self._dec.decode_temporal_unit(chunk):
+                pic = res[1] if isinstance(res, tuple) else None
+                if pic is not None:
+                    self._out.append(pic)
+        return self._out.popleft() if self._out else None
+
+    def pictures(self):
+        """Drain every picture currently decodable."""
+        while True:
+            pic = self.get_picture()
+            if pic is None:
+                return
+            yield pic
+
+    # -- dav1d_flush ----------------------------------------------------
+    def flush(self) -> None:
+        """Drop in-flight data and output; reference state is reset
+        like dav1d_flush (lib.c)."""
+        from .decoder import ObuStreamDecoder
+        self._pending.clear()
+        self._out.clear()
+        self._dec = ObuStreamDecoder(settings=self.settings)
+
+    # -- dav1d_close ----------------------------------------------------
+    def close(self) -> None:
+        self.flush()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    # -- introspection --------------------------------------------------
+    @property
+    def seq_hdr(self):
+        return self._dec.state.seq_hdr
+
+
+def parse_sequence_header(data: bytes):
+    """dav1d_parse_sequence_header equivalent (reference obu.c:302-339)."""
+    from .bitstream.obu import parse_sequence_header_standalone
+    return parse_sequence_header_standalone(data)

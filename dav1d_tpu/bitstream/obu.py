@@ -956,6 +956,47 @@ OBU_META_ITUT_T35 = 4
 OBU_META_TIMECODE = 5
 
 
+def parse_metadata(c: ParserState, payload: bytes) -> None:
+    """Metadata OBU payloads (reference obu.c:1356-1515): HDR content
+    light level, mastering display color volume, ITU-T T.35 user data.
+    Scalability/timecode and unknown types are ignored like the
+    reference."""
+    gb = GetBits(payload)
+    meta_type = gb.get_uleb128()
+    if meta_type == OBU_META_HDR_CLL:
+        cll = ContentLightLevel()
+        cll.max_content_light_level = gb.get_bits(16)
+        cll.max_frame_average_light_level = gb.get_bits(16)
+        if not gb.error:
+            c.content_light = cll
+    elif meta_type == OBU_META_HDR_MDCV:
+        md = MasteringDisplay()
+        md.primaries = [[gb.get_bits(16), gb.get_bits(16)]
+                        for _ in range(3)]
+        md.white_point = [gb.get_bits(16), gb.get_bits(16)]
+        md.max_luminance = gb.get_bits(32)
+        md.min_luminance = gb.get_bits(32)
+        if not gb.error:
+            c.mastering_display = md
+    elif meta_type == OBU_META_ITUT_T35:
+        # strip trailing zero bytes, then the 0x80 terminator byte
+        size = len(payload) - gb.byte_pos()
+        base = gb.byte_pos()
+        while size > 0 and payload[base + size - 1] == 0:
+            size -= 1
+        size -= 1
+        t35 = ITUTT35()
+        t35.country_code = gb.get_bits(8)
+        size -= 1
+        if t35.country_code == 0xFF:
+            t35.country_code_extension_byte = gb.get_bits(8)
+            size -= 1
+        if size <= 0 or payload[gb.byte_pos() + size] != 0x80:
+            return            # malformed: log-and-ignore in the reference
+        t35.payload = payload[gb.byte_pos():gb.byte_pos() + size]
+        c.itut_t35.append(t35)
+
+
 def parse_sequence_header_standalone(data: bytes) -> SequenceHeader:
     """Equivalent of dav1d_parse_sequence_header (reference obu.c:302-339):
     scan OBUs in the buffer, return the last sequence header found."""

@@ -1,0 +1,189 @@
+"""Command-line decoder mirroring the reference dav1d CLI
+(reference tools/dav1d.c, tools/dav1d_cli_parse.c): demuxer probing,
+muxer selection by extension, film grain / operating point / layer /
+in-loop-filter / frame-type options, md5 verification.
+
+Usage: python -m dav1d_tpu.cli -i in.ivf -o out.y4m [options]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from .api import Decoder, Settings
+from .bitstream.demux import open_input
+from .utils.muxers import Md5Muxer, NullMuxer, Y4mMuxer, YuvMuxer
+
+_ILF = {"none": 0, "deblock": 1, "nodeblock": 6, "cdef": 2, "nocdef": 5,
+        "restoration": 4, "norestoration": 3, "all": 7}
+_DFT = {"all": 0, "reference": 1, "intra": 2, "key": 3}
+
+
+def _pick_muxer(name, path):
+    if name is None:
+        if path in (None, "-"):
+            name = "md5"
+        elif path.endswith(".y4m"):
+            name = "yuv4mpeg2"
+        elif path.endswith(".yuv"):
+            name = "yuv"
+        elif path.endswith(".md5"):
+            name = "md5"
+        else:
+            name = "null"
+    return name
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="dav1d_tpu")
+    p.add_argument("--input", "-i", required=True)
+    p.add_argument("--output", "-o", default=None)
+    p.add_argument("--demuxer", choices=["ivf", "annexb", "section5"])
+    p.add_argument("--muxer", choices=["md5", "yuv", "yuv4mpeg2", "null"])
+    p.add_argument("--quiet", "-q", action="store_true")
+    p.add_argument("--limit", "-l", type=int, default=0)
+    p.add_argument("--skip", "-s", type=int, default=0)
+    p.add_argument("--filmgrain", type=int, default=None)
+    p.add_argument("--oppoint", type=int, default=0)
+    p.add_argument("--alllayers", type=int, default=1)
+    p.add_argument("--sizelimit", type=str, default=None,
+                   help="max frame size (pixels, or WxH)")
+    p.add_argument("--strict", type=int, default=1)
+    p.add_argument("--verify", type=str, default=None)
+    p.add_argument("--outputinvisible", type=int, default=0)
+    p.add_argument("--inloopfilters", type=str, default="all")
+    p.add_argument("--decodeframetype", type=str, default="all")
+    p.add_argument("--threads", type=int, default=0)
+    p.add_argument("--framedelay", type=int, default=0)
+    args = p.parse_args(argv)
+
+    ilf = 7
+    for part in args.inloopfilters.split(","):
+        part = part.strip()
+        if part not in _ILF:
+            p.error(f"unknown in-loop filter '{part}'")
+        v = _ILF[part]
+        ilf = v if part in ("none", "all") or not part.startswith("no") \
+            else (ilf & v)
+
+    size_limit = 0
+    if args.sizelimit:
+        if "x" in args.sizelimit:
+            w, h = args.sizelimit.split("x", 1)
+            size_limit = int(w) * int(h)
+        else:
+            size_limit = int(args.sizelimit)
+
+    muxer_name = _pick_muxer(args.muxer, args.output)
+    if args.verify is not None:
+        muxer_name = "md5"
+
+    apply_grain = args.filmgrain if args.filmgrain is not None \
+        else (muxer_name != "md5")
+    settings = Settings(
+        n_threads=args.threads, max_frame_delay=args.framedelay,
+        apply_grain=bool(apply_grain), operating_point=args.oppoint,
+        all_layers=bool(args.alllayers), frame_size_limit=size_limit,
+        strict_std_compliance=bool(args.strict),
+        output_invisible_frames=bool(args.outputinvisible),
+        inloop_filters=ilf, decode_frame_type=_DFT[args.decodeframetype])
+
+    try:
+        data = sys.stdin.buffer.read() if args.input == "-" else \
+            open(args.input, "rb").read()
+    except OSError as e:
+        print(f"Failed to open input file {args.input}: {e.strerror}",
+              file=sys.stderr)
+        return 1
+    try:
+        frames = open_input(data, args.demuxer)
+    except ValueError as e:
+        print(f"Failed to open input file {args.input}: {e}",
+              file=sys.stderr)
+        return 1
+
+    out_fh = None
+    if muxer_name == "md5":
+        mux = Md5Muxer()
+    elif muxer_name == "null":
+        mux = NullMuxer()
+    else:
+        out_fh = sys.stdout.buffer if args.output in (None, "-") else \
+            open(args.output, "wb")
+        mux = Y4mMuxer(out_fh) if muxer_name == "yuv4mpeg2" else \
+            YuvMuxer(out_fh)
+
+    dec = Decoder(settings)
+    n = 0
+    n_tu = 0
+    to_skip = args.skip
+    seq_seen = to_skip == 0
+    seq_skip = 0
+    t0 = time.monotonic()
+    err = 0
+    for fr in frames:
+        n_tu += 1
+        # --skip drops input packets, then keeps dropping until a
+        # packet with a sequence header (reference dav1d.c:231-257)
+        if to_skip > 0:
+            to_skip -= 1
+            continue
+        if not seq_seen:
+            from .api import parse_sequence_header
+            try:
+                parse_sequence_header(fr.data)
+                seq_seen = True
+            except Exception:
+                seq_skip += 1
+                continue
+        try:
+            dec.send_data(fr.data)
+            for pic in dec.pictures():
+                mux.write_picture(pic)
+                n += 1
+                if args.limit and n >= args.limit:
+                    break
+        except Exception as e:
+            print(f"Error decoding frame: {e}", file=sys.stderr)
+            err = 1
+            break
+        if args.limit and n >= args.limit:
+            break
+    if seq_skip and not args.quiet:
+        print(f"skipped {seq_skip} packets due to missing sequence"
+              " header", file=sys.stderr)
+    if n_tu == 0:
+        print(f"Failed to open input file {args.input}: "
+              "no temporal units found", file=sys.stderr)
+        return 1
+    if n == 0 and not err:
+        print("No data decoded", file=sys.stderr)
+        err = 1
+    dt = time.monotonic() - t0
+
+    rc = err
+    if muxer_name == "md5":
+        digest = mux.digest()
+        if args.verify is not None:
+            if not mux.verify(args.verify):
+                print(f"MD5 mismatch: got {digest}, "
+                      f"expected {args.verify}", file=sys.stderr)
+                rc = 1
+            elif not args.quiet:
+                print("Verified", file=sys.stderr)
+        else:
+            out = sys.stdout if args.output in (None, "-") else \
+                open(args.output, "w")
+            print(digest, file=out)
+    if out_fh is not None and out_fh is not sys.stdout.buffer:
+        out_fh.close()
+    if not args.quiet:
+        fps = n / dt if dt > 0 else 0.0
+        print(f"Decoded {n} frames in {dt:.2f}s ({fps:.2f} fps)",
+              file=sys.stderr)
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -44,14 +44,18 @@ class ObuStreamDecoder:
     """Parses temporal units into frames; runs Stage A (+ recon when
     enabled) on each."""
 
-    def __init__(self, do_recon: bool = True):
+    def __init__(self, do_recon: bool = True, settings=None):
+        from .api import Settings
+        self.settings = settings or Settings()
         self.state = obu_mod.ParserState()
+        self.state.strict = self.settings.strict_std_compliance
         self.tile_groups: list[TileGroupData] = []
         self.n_tiles = 0
         self.do_recon = do_recon
         self.refs = [RefSlot() for _ in range(8)]
         # keep parser-visible ref headers in sync
         self.state.refs = [obu_mod.RefSlot() for _ in range(8)]
+        self.operating_point_idc = 0
 
     def _split_tiles(self, fh) -> list:
         tiles = []
@@ -105,10 +109,21 @@ class ObuStreamDecoder:
         if gb.error or end > len(data):
             raise obu_mod.ParseError("truncated OBU")
 
+        # operating-point layer filtering (reference obu.c:1203-1210)
+        if has_extension and self.operating_point_idc and \
+                obu_type not in (ObuType.SEQ_HDR, ObuType.TD):
+            in_t = (self.operating_point_idc >> temporal_id) & 1
+            in_s = (self.operating_point_idc >> (spatial_id + 8)) & 1
+            if not (in_t and in_s):
+                return end, None
+
         res = None
         if obu_type == ObuType.SEQ_HDR:
             st.seq_hdr = obu_mod.parse_seq_hdr(
                 GetBits(data[payload_start:end]), st.strict)
+            opi = min(self.settings.operating_point,
+                      st.seq_hdr.num_operating_points - 1)
+            self.operating_point_idc = st.seq_hdr.operating_points[opi].idc
         elif obu_type in (ObuType.FRAME_HDR, ObuType.FRAME,
                           ObuType.REDUNDANT_FRAME_HDR):
             if obu_type == ObuType.REDUNDANT_FRAME_HDR and st.frame_hdr:
@@ -123,6 +138,11 @@ class ObuStreamDecoder:
             self.tile_groups = []
             self.n_tiles = 0
             if st.frame_hdr.show_existing_frame:
+                if self._frame_type_skipped(
+                        self.refs[st.frame_hdr.existing_frame_idx]
+                        .frame_hdr, show_existing=True):
+                    st.frame_hdr = None
+                    return end, None
                 res = self._show_existing()
                 st.frame_hdr = None
                 return end, res
@@ -132,9 +152,25 @@ class ObuStreamDecoder:
                     data[payload_start + fgb.byte_pos():end])
         elif obu_type == ObuType.TILE_GRP:
             res = self._handle_tile_group(data[payload_start:end])
-        elif obu_type in (ObuType.METADATA, ObuType.TD, ObuType.PADDING):
+        elif obu_type == ObuType.METADATA:
+            obu_mod.parse_metadata(self.state, data[payload_start:end])
+        elif obu_type in (ObuType.TD, ObuType.PADDING):
             pass
+        if res is not None and res[1] is not None:
+            self._attach_metadata(res[1])
         return end, res
+
+    def _attach_metadata(self, pic):
+        """HDR metadata + accumulated T.35 travel on the next output
+        picture (reference obu.c:1559-1583, picture.c metadata refs)."""
+        st = self.state
+        if pic.seq_hdr is None:
+            pic.seq_hdr = st.seq_hdr
+        pic.content_light = st.content_light
+        pic.mastering_display = st.mastering_display
+        if st.itut_t35:
+            pic.itut_t35 = st.itut_t35
+            st.itut_t35 = []
 
     def _show_existing(self):
         slot = self.refs[self.state.frame_hdr.existing_frame_idx]
@@ -144,8 +180,12 @@ class ObuStreamDecoder:
         if slot.frame_hdr is not None and slot.frame_hdr.frame_type == 0:
             self._refresh_slots_for_key_show_existing(slot)
         out_pic = slot.pic
+        if out_pic is not None and out_pic.frame_hdr is None:
+            out_pic.seq_hdr = self.state.seq_hdr
+            out_pic.frame_hdr = slot.frame_hdr
         if slot.frame_hdr is not None and \
-                slot.frame_hdr.film_grain_present:
+                slot.frame_hdr.film_grain_present and \
+                self.settings.apply_grain:
             from .ops.fg_ref import apply_film_grain
             out_pic = apply_film_grain(slot.pic, slot.frame_hdr,
                                        self.state.seq_hdr)
@@ -176,8 +216,39 @@ class ObuStreamDecoder:
         self.n_tiles += end - start + 1
         n_expected = st.frame_hdr.tiling.cols * st.frame_hdr.tiling.rows
         if self.n_tiles == n_expected:
+            if self._frame_type_skipped(st.frame_hdr):
+                self._skip_frame_headers_only()
+                return None
             return self._decode_frame()
         return None
+
+    def _frame_type_skipped(self, fh, show_existing=False):
+        """decode_frame_type filtering (reference obu.c:1528-1658,
+        dav1d.h:71-76). 0=all 1=reference 2=intra 3=key."""
+        dft = self.settings.decode_frame_type
+        if dft == 0 or fh is None:
+            return False
+        ft = fh.frame_type
+        if ft in (1, 3):                      # INTER / SWITCH
+            return dft > 1 or (dft == 1 and not show_existing and
+                               not fh.refresh_frame_flags)
+        if ft == 2:                           # INTRA (non-key)
+            return dft > 2 or (dft == 1 and not show_existing and
+                               not fh.refresh_frame_flags)
+        return False                          # KEY always decoded
+
+    def _skip_frame_headers_only(self):
+        """Header-only slot refresh for filtered frames (reference
+        obu.c:1670-1682)."""
+        st = self.state
+        fh = st.frame_hdr
+        for i in range(8):
+            if fh.refresh_frame_flags & (1 << i):
+                self.refs[i] = RefSlot(frame_hdr=fh, poc=fh.frame_offset)
+                self.state.refs[i].frame_hdr = fh
+        st.frame_hdr = None
+        self.tile_groups = []
+        self.n_tiles = 0
 
     # ------------------------------------------------------------------
     def _decode_frame(self, coder_factory=None):
@@ -191,6 +262,9 @@ class ObuStreamDecoder:
         st = self.state
         fh = st.frame_hdr
         seq = st.seq_hdr
+        if self.settings.frame_size_limit and \
+                fh.width[1] * fh.height > self.settings.frame_size_limit:
+            raise obu_mod.ParseError("frame size exceeds frame_size_limit")
         tiles = self._split_tiles(fh) if coder_factory is None else None
         f = FrameContext(seq, fh)
         key_or_intra = not (fh.frame_type & 1)
@@ -310,17 +384,21 @@ class ObuStreamDecoder:
             else:
                 from .recon.inter_ref import reconstruct_inter_frame
                 pic = reconstruct_inter_frame(plan, refp)
-            from .ops.lf_ref import apply_deblock
-            apply_deblock(pic, plan)
-            need_lr = any(t != 0 for t in fh.restoration.type)
+            ilf = self.settings.inloop_filters
+            if ilf & 1:              # DAV1D_INLOOPFILTER_DEBLOCK
+                from .ops.lf_ref import apply_deblock
+                apply_deblock(pic, plan)
+            need_lr = (ilf & 4) and any(t != 0 for t in
+                                        fh.restoration.type)
             pre_cdef = [pl.astype("int32") for pl in pic.planes] \
                 if need_lr else None
-            from .ops.cdef_ref import apply_cdef
-            apply_cdef(pic, plan)
+            if ilf & 2:              # DAV1D_INLOOPFILTER_CDEF
+                from .ops.cdef_ref import apply_cdef
+                apply_cdef(pic, plan)
             if fh.width[0] != fh.width[1]:
                 from .ops.superres import apply_superres
                 pic, pre_cdef = apply_superres(pic, pre_cdef, plan)
-            if need_lr:
+            if need_lr:               # DAV1D_INLOOPFILTER_RESTORATION
                 from .ops.restore_ref import apply_lr
                 apply_lr(pic, pre_cdef, plan)
 
@@ -341,7 +419,14 @@ class ObuStreamDecoder:
         self.n_tiles = 0
         if self.do_recon:
             out_pic = pic
-            if pic is not None and fh.film_grain_present:
+            if pic is not None:
+                pic.seq_hdr = seq
+                pic.frame_hdr = fh
+            if pic is not None and not fh.show_frame and \
+                    not self.settings.output_invisible_frames:
+                out_pic = None       # invisible frame: decode, don't emit
+            if out_pic is not None and fh.film_grain_present and \
+                    self.settings.apply_grain:
                 # grain is out-of-loop: output copy only, refs stay clean
                 from .ops.fg_ref import apply_film_grain
                 out_pic = apply_film_grain(pic, fh, seq)

@@ -493,6 +493,63 @@ def _resize_filter():
     return _RESIZE
 
 
+def _bilin_scaled_rows(src, y, x, w, h, mx, my, dx, dy, ib):
+    """Shared h/v walk of the bilin scaled kernels (reference
+    mc_tmpl.c:492-589 put/prep_bilin_scaled_c). Yields (mid1, mid2,
+    vmy4) per output row; rows are 16*(4-ib)-domain intermediates."""
+    hrows = {}
+
+    def hrow(sy):
+        if sy in hrows:
+            return hrows[sy]
+        row = np.zeros(w, np.int32)
+        srow = src[y + sy].astype(np.int32)
+        imx, ioff = mx, 0
+        for ox in range(w):
+            hmx = imx >> 6
+            v = 16 * int(srow[x + ioff]) + hmx * (
+                int(srow[x + ioff + 1]) - int(srow[x + ioff]))
+            row[ox] = _rnd(v, 4 - ib)
+            imx += dx
+            ioff += imx >> 10
+            imx &= 0x3FF
+        hrows[sy] = row
+        return row
+
+    cmy = my
+    for _oy in range(h):
+        sy = cmy >> 10
+        yield hrow(sy), hrow(sy + 1), (cmy & 0x3FF) >> 6
+        cmy += dy
+
+
+def put_bilin_scaled(src: np.ndarray, y: int, x: int, w: int, h: int,
+                     mx: int, my: int, dx: int, dy: int,
+                     bpc: int) -> np.ndarray:
+    """reference mc_tmpl.c:492-538 put_bilin_scaled_c."""
+    ib = intermediate_bits(bpc)
+    out = np.zeros((h, w), np.int32)
+    for oy, (m1, m2, vmy) in enumerate(
+            _bilin_scaled_rows(src, y, x, w, h, mx, my, dx, dy, ib)):
+        v = 16 * m1 + vmy * (m2 - m1)
+        out[oy] = np.clip(_rnd(v, 4 + ib), 0, (1 << bpc) - 1)
+    return out
+
+
+def prep_bilin_scaled(src: np.ndarray, y: int, x: int, w: int, h: int,
+                      mx: int, my: int, dx: int, dy: int,
+                      bpc: int) -> np.ndarray:
+    """reference mc_tmpl.c:540-589 prep_bilin_scaled_c."""
+    ib = intermediate_bits(bpc)
+    pb = prep_bias(bpc)
+    out = np.zeros((h, w), np.int32)
+    for oy, (m1, m2, vmy) in enumerate(
+            _bilin_scaled_rows(src, y, x, w, h, mx, my, dx, dy, ib)):
+        v = 16 * m1 + vmy * (m2 - m1)
+        out[oy] = _rnd(v, 4) - pb
+    return out
+
+
 def resize_row(src_row: np.ndarray, dst_w: int, src_w: int, dx: int,
                mx0: int, bpc: int) -> np.ndarray:
     """reference mc_tmpl.c:918-958 resize_c (one row)."""

@@ -163,7 +163,9 @@ class InterReconstructor(IntraReconstructor):
             src, sy, sx = ref, top, left
         ft = mc_ref.FILTER2D_TO_TYPE[filter2d]
         if ft < 0:
-            raise NotImplementedError("scaled bilinear MC")
+            fn = mc_ref.put_bilin_scaled if put else mc_ref.prep_bilin_scaled
+            return fn(src, sy, sx, bw_px, bh_px, pos_x & 0x3ff,
+                      pos_y & 0x3ff, xstep, ystep, bd)
         fn = mc_ref.put_8tap_scaled if put else mc_ref.prep_8tap_scaled
         return fn(src, sy, sx, bw_px, bh_px, pos_x & 0x3ff, pos_y & 0x3ff,
                   xstep, ystep, ft, bd)

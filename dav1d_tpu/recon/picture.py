@@ -8,7 +8,8 @@ import numpy as np
 
 class Picture:
     __slots__ = ("planes", "w", "h", "bpc", "layout", "layout_name",
-                 "ss_hor", "ss_ver")
+                 "ss_hor", "ss_ver", "content_light", "mastering_display",
+                 "itut_t35", "seq_hdr", "frame_hdr")
 
     _NAMES = {0: "I400", 1: "I420", 2: "I422", 3: "I444"}
 
@@ -20,6 +21,11 @@ class Picture:
         self.layout_name = self._NAMES[int(layout)]
         self.ss_hor = 0 if layout == 3 else 1
         self.ss_ver = 1 if layout == 1 else 0
+        self.content_light = None       # HDR CLL metadata OBU
+        self.mastering_display = None   # HDR MDCV metadata OBU
+        self.itut_t35 = []              # ITU-T T.35 metadata OBUs
+        self.seq_hdr = None             # set by the decoder on output
+        self.frame_hdr = None
         dtype = np.uint8 if bpc == 8 else np.uint16
         # padded to 128-aligned dims like the reference allocator
         # (reference picture.c:46-49) — edge tx/pred blocks overshoot the

@@ -93,7 +93,22 @@ class Y4mMuxer:
     def write_picture(self, pic) -> None:
         if not self.wrote_header:
             csp = self._CSP[(pic.layout_name, pic.bpc)]
-            hdr = f"YUV4MPEG2 W{pic.w} H{pic.h} F{self.fps[0]}:{self.fps[1]} Ip A0:0 C{csp}\n"
+            if pic.layout_name == "I420" and pic.bpc == 8 and \
+                    pic.seq_hdr is not None:
+                # reference y4m2.c:69-73 chroma-position names
+                csp = {1: "420mpeg2", 2: "420"}.get(
+                    int(pic.seq_hdr.chr), "420jpeg")
+            aw, ah = 0, 0
+            if pic.frame_hdr is not None:
+                # pixel aspect from render size (reference y4m2.c:80-87)
+                import math
+                aw = pic.h * pic.frame_hdr.render_width
+                ah = pic.w * pic.frame_hdr.render_height
+                g = math.gcd(aw, ah) or 1
+                aw //= g
+                ah //= g
+            hdr = (f"YUV4MPEG2 W{pic.w} H{pic.h} "
+                   f"F{self.fps[0]}:{self.fps[1]} Ip A{aw}:{ah} C{csp}\n")
             self.fh.write(hdr.encode())
             self.wrote_header = True
         self.fh.write(b"FRAME\n")

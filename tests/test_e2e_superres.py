@@ -69,6 +69,12 @@ CONFIGS = [
     dict(name="scaled-ref-sr-mix", w=96, h=96, n_frames=4, seed=88,
          superres_denom=12, lf_levels=(16, 14, 8, 8), intra=False,
          frame_size_fn=lambda fi: (80, 80) if fi == 2 else None),
+    dict(name="scaled-ref-bilin", w=96, h=96, n_frames=3, seed=89,
+         subpel_filter_switchable=0, subpel_filter=3, intra=False,
+         frame_size_fn=lambda fi: (64, 64) if fi == 1 else None),
+    dict(name="sr-bilin", w=96, h=96, n_frames=3, seed=90,
+         subpel_filter_switchable=0, subpel_filter=3,
+         superres_denom=12, intra=False),
 ]
 
 

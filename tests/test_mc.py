@@ -248,7 +248,7 @@ def test_scaled_8tap(bpc):
     buf = io.BytesIO()
     cases = []
     for (w, h) in [(4, 4), (8, 8), (16, 16), (32, 16), (8, 4)]:
-        for f2d in (0, 5, 8):
+        for f2d in (0, 5, 8, 9):
             for (dx, dy) in [(1024, 1024), (2048, 1365), (683, 2048),
                              (1536, 1536)]:
                 mx = int(rng.integers(0, 1024))
@@ -271,16 +271,19 @@ def test_scaled_8tap(bpc):
                             np.uint16).reshape(h, w)
         pos += w * h * 2
         ft = mc_ref.FILTER2D_TO_TYPE[f2d]
-        assert ft >= 0
         if op == 16:
-            exp = mc_ref.put_8tap_scaled(src, 3, 3, w, h, mx, my, dx, dy,
-                                         ft, bpc)
+            exp = mc_ref.put_bilin_scaled(src, 3, 3, w, h, mx, my, dx,
+                                          dy, bpc) if ft < 0 else \
+                mc_ref.put_8tap_scaled(src, 3, 3, w, h, mx, my, dx, dy,
+                                       ft, bpc)
             np.testing.assert_array_equal(
                 got.astype(np.int32), exp,
                 err_msg=f"put_scaled f2d={f2d} {w}x{h} d={dx},{dy}")
         else:
-            exp = mc_ref.prep_8tap_scaled(src, 3, 3, w, h, mx, my, dx,
-                                          dy, ft, bpc)
+            exp = mc_ref.prep_bilin_scaled(src, 3, 3, w, h, mx, my, dx,
+                                           dy, bpc) if ft < 0 else \
+                mc_ref.prep_8tap_scaled(src, 3, 3, w, h, mx, my, dx,
+                                        dy, ft, bpc)
             np.testing.assert_array_equal(
                 got.view(np.int16).astype(np.int32), exp,
                 err_msg=f"prep_scaled f2d={f2d} {w}x{h} d={dx},{dy}")
