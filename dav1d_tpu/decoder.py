@@ -156,7 +156,7 @@ class ObuStreamDecoder:
             obu_mod.parse_metadata(self.state, data[payload_start:end])
         elif obu_type in (ObuType.TD, ObuType.PADDING):
             pass
-        if res is not None and res[1] is not None:
+        if isinstance(res, tuple) and res[1] is not None:
             self._attach_metadata(res[1])
         return end, res
 

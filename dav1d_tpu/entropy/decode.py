@@ -48,6 +48,7 @@ class CoefBlock:
     txtp: int
     eob: int
     cf: np.ndarray      # int32 flat, dav1d rc layout: rc = x*min(h,32)+y
+    res: np.ndarray = None   # batch-precomputed (h, w) residual (recon)
 
 
 @dataclass
@@ -230,6 +231,11 @@ class TileParser(InterParserMixin):
         self.l = env.BlockContext()
         self.a.reset(f.key_or_intra)
         self.levels_buf = np.zeros(36 * 36, np.uint8)
+        self.coef_native = None
+        if type(self.msac) is MsacDecoder:
+            from . import native
+            if native.available():
+                self.coef_native = native.NativeCoefTile(self)
         self.cur_sb_cdef_idx = None
         self.dbg = False   # mirror of the reference's DEBUG_BLOCK_INFO trace
         # inter-frame state: refmvs tile view + per-sb luma txtp scratch
@@ -1304,6 +1310,9 @@ class TileParser(InterParserMixin):
         """reference recon_tmpl.c decode_coefs:321-737.
         Returns (txtp, eob, cf int32 array, cf_ctx byte).
         eob == -1 means all-skip (cf empty)."""
+        if self.coef_native is not None and type(self.msac) is MsacDecoder:
+            return self.coef_native.decode(a_slice, l_slice, tx, bs, b,
+                                           intra, plane, ytxtp)
         f = self.f
         fh = f.frame_hdr
         msac = self.msac

@@ -314,18 +314,20 @@ _EDGE_KERNELS = np.array([[0, 4, 8, 4, 0], [0, 5, 6, 5, 0], [2, 4, 4, 4, 2]],
 def _filter_edge(sz, lim_from, lim_to, src, src_from, src_to, strength):
     """reference ipred_tmpl.c:363-386. src: callable i -> value with
     clipping indices [src_from, src_to)."""
-    out = np.zeros(sz, np.int32)
     kern = _EDGE_KERNELS[strength - 1]
-    for i in range(sz):
-        if i < min(sz, lim_from) or i >= min(lim_to, sz):
-            out[i] = src(np.clip(i, src_from, src_to - 1))
-        else:
-            s = 0
-            for j in range(5):
-                s += src(int(np.clip(i - 2 + j, src_from, src_to - 1))) * \
-                    int(kern[j])
-            out[i] = (s + 8) >> 4
-    return out
+    idx = np.clip(np.arange(-2, sz + 2), src_from, src_to - 1)
+    vals = np.array([src(int(i)) for i in idx], np.int64)
+    acc = np.zeros(sz, np.int64)
+    for j in range(5):
+        k = int(kern[j])
+        if k:
+            acc += vals[j:j + sz] * k
+    filt = (acc + 8) >> 4
+    i = np.arange(sz)
+    passthru = vals[2:2 + sz]          # idx[i+2] == clip(i, ...)
+    out = np.where((i < min(sz, lim_from)) | (i >= min(lim_to, sz)),
+                   passthru, filt)
+    return out.astype(np.int32)
 
 
 def _get_upsample(wh, angle, is_sm):
@@ -336,13 +338,14 @@ def _upsample_edge(hsz, src, src_from, src_to, bd):
     """reference ipred_tmpl.c:392-407; returns 2*hsz-1 values."""
     out = np.zeros(hsz * 2, np.int32)
     bd_max = (1 << bd) - 1
-    for i in range(hsz - 1):
-        out[i * 2] = src(int(np.clip(i, src_from, src_to - 1)))
-        s = 0
-        for j, k in enumerate((-1, 9, 9, -1)):
-            s += src(int(np.clip(i + j - 1, src_from, src_to - 1))) * k
-        out[i * 2 + 1] = np.clip((s + 8) >> 4, 0, bd_max)
-    out[(hsz - 1) * 2] = src(int(np.clip(hsz - 1, src_from, src_to - 1)))
+    idx = np.clip(np.arange(-1, hsz + 1), src_from, src_to - 1)
+    vals = np.array([src(int(i)) for i in idx], np.int64)
+    n = hsz - 1
+    out[0:2 * n:2] = vals[1:1 + n]
+    s = (-vals[0:n] + 9 * vals[1:1 + n] + 9 * vals[2:2 + n]
+         - vals[3:3 + n] + 8) >> 4
+    out[1:2 * n:2] = np.clip(s, 0, bd_max)
+    out[n * 2] = vals[1 + n]
     return out
 
 
@@ -371,21 +374,15 @@ def ipred_z1(e, w, h, angle, bd):
             top = np.array([src(i) for i in range(w + min(w, h))], np.int32)
             max_base_x = w + min(w, h) - 1
     base_inc = 1 + upsample_above
-    out = np.zeros((h, w), np.int32)
-    xpos = dx
-    for y in range(h):
-        frac = xpos & 0x3E
-        base = xpos >> 6
-        for x in range(w):
-            if base < max_base_x:
-                v = int(top[base]) * (64 - frac) + int(top[base + 1]) * frac
-                out[y, x] = (v + 32) >> 6
-            else:
-                out[y, x:] = top[max_base_x]
-                break
-            base += base_inc
-        xpos += dx
-    return out
+    top = np.asarray(top, np.int64)
+    xpos = dx * np.arange(1, h + 1)
+    frac = (xpos & 0x3E)[:, None]
+    base = (xpos >> 6)[:, None] + np.arange(w)[None, :] * base_inc
+    bc = np.minimum(base, max_base_x)
+    v = top[bc] * (64 - frac) + top[np.minimum(bc + 1, top.shape[0] - 1)] \
+        * frac
+    out = np.where(base < max_base_x, (v + 32) >> 6, top[max_base_x])
+    return out.astype(np.int32)
 
 
 def ipred_z2(e, w, h, angle, bd, max_width, max_height):
@@ -440,26 +437,21 @@ def ipred_z2(e, w, h, angle, bd, max_width, max_height):
 
     base_inc_x = 1 + upsample_above
     left_off = -(1 + upsample_left)
-    out = np.zeros((h, w), np.int32)
-    xpos0 = ((1 + upsample_above) << 6) - dx
-    for y in range(h):
-        xpos = xpos0 - dx * y
-        base_x = xpos >> 6
-        frac_x = xpos & 0x3E
-        ypos = (y << (6 + upsample_left)) - dy
-        for x in range(w):
-            if base_x >= 0:
-                v = int(buf[C + base_x]) * (64 - frac_x) + \
-                    int(buf[C + base_x + 1]) * frac_x
-            else:
-                base_y = ypos >> 6
-                frac_y = ypos & 0x3E
-                v = int(buf[C + left_off - base_y]) * (64 - frac_y) + \
-                    int(buf[C + left_off - (base_y + 1)]) * frac_y
-            out[y, x] = (v + 32) >> 6
-            base_x += base_inc_x
-            ypos -= dy
-    return out
+    b64 = buf.astype(np.int64)
+    ys = np.arange(h)[:, None]
+    xs = np.arange(w)[None, :]
+    xpos = ((1 + upsample_above) << 6) - dx * (ys + 1)
+    base_x = (xpos >> 6) + xs * base_inc_x
+    frac_x = xpos & 0x3E
+    ia = np.clip(C + base_x, 0, b64.shape[0] - 2)
+    va = b64[ia] * (64 - frac_x) + b64[ia + 1] * frac_x
+    ypos = (ys << (6 + upsample_left)) - dy * (xs + 1)
+    base_y = ypos >> 6
+    frac_y = ypos & 0x3E
+    il = np.clip(C + left_off - base_y, 1, b64.shape[0] - 1)
+    vl = b64[il] * (64 - frac_y) + b64[il - 1] * frac_y
+    out = np.where(base_x >= 0, (va + 32) >> 6, (vl + 32) >> 6)
+    return out.astype(np.int32)
 
 
 def ipred_z3(e, w, h, angle, bd):
@@ -493,23 +485,19 @@ def ipred_z3(e, w, h, angle, bd):
             left_anchor = w + h - 1   # left = topleft_in[-1]
             max_base_y = h + min(w, h) - 1
     base_inc = 1 + upsample_left
-    out = np.zeros((h, w), np.int32)
-    for x in range(w):
-        ypos = dy * (x + 1)
-        frac = ypos & 0x3E
-        base = ypos >> 6
-        y = 0
-        while y < h:
-            if base < max_base_y:
-                v = int(base_arr[left_anchor - base]) * (64 - frac) + \
-                    int(base_arr[left_anchor - (base + 1)]) * frac
-                out[y, x] = (v + 32) >> 6
-                y += 1
-                base += base_inc
-            else:
-                out[y:, x] = base_arr[left_anchor - max_base_y]
-                break
-    return out
+    arr = np.asarray(base_arr, np.int64)
+    ys = np.arange(h)[:, None]
+    xs = np.arange(w)[None, :]
+    ypos = dy * (xs + 1)
+    frac = ypos & 0x3E
+    base = (ypos >> 6) + ys * base_inc
+    bc = np.minimum(base, max_base_y)
+    i0 = np.clip(left_anchor - bc, 0, arr.shape[0] - 1)
+    i1 = np.clip(left_anchor - bc - 1, 0, arr.shape[0] - 1)
+    v = arr[i0] * (64 - frac) + arr[i1] * frac
+    out = np.where(base < max_base_y, (v + 32) >> 6,
+                   arr[left_anchor - max_base_y])
+    return out.astype(np.int32)
 
 
 def ipred_filter(e, w, h, filt_idx, bd):

@@ -392,10 +392,9 @@ class InterReconstructor(IntraReconstructor):
                 t_dim = lv.TXFM_INFO[cb.tx]
                 plane = self.pic.planes[cb.plane]
                 ppx, ppy = cb.x4 * 4, cb.y4 * 4
-                dst = plane[ppy:ppy + t_dim.h * 4, ppx:ppx + t_dim.w * 4]
-                tmp = dst.astype(np.uint16)
-                itx_ref.inv_txfm_add(tmp, cb.cf, cb.eob, cb.tx, cb.txtp, bd)
-                dst[:] = tmp.astype(plane.dtype)
+                itx_ref.add_residual(
+                    plane[ppy:ppy + t_dim.h * 4, ppx:ppx + t_dim.w * 4],
+                    cb, bd)
 
     # -- chroma for single-ref blocks ----------------------------------
     def _chroma_single(self, b, b_dim, bw4, bh4, cbw4, cbh4, filter2d,
@@ -589,4 +588,6 @@ class InterReconstructor(IntraReconstructor):
 
 
 def reconstruct_inter_frame(plan, refp):
-    return InterReconstructor(plan, refp).run()
+    r = InterReconstructor(plan, refp)
+    itx_ref.precompute_residuals(plan.coefs, r.bitdepth)
+    return r.run()

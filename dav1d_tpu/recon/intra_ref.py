@@ -187,11 +187,8 @@ class IntraReconstructor:
             if not b.skip:
                 cb = self.coef_by_pos.get((0, bx, by))
                 if cb is not None and cb.eob >= 0:
-                    dst = plane[py:py + h_px, px:px + w_px]
-                    tmp = dst.astype(np.uint16)
-                    itx_ref.inv_txfm_add(tmp, cb.cf, cb.eob, cb.tx,
-                                         cb.txtp, bd)
-                    dst[:] = tmp.astype(plane.dtype)
+                    itx_ref.add_residual(
+                        plane[py:py + h_px, px:px + w_px], cb, bd)
             return
         edge_flags = (
             (0 if ((y > init_y or not sb_has_tr) and (x + t_dim.w >= sub_w4))
@@ -223,10 +220,8 @@ class IntraReconstructor:
         if not b.skip:
             cb = self.coef_by_pos.get((0, bx, by))
             if cb is not None and cb.eob >= 0:
-                dst = plane[py:py + h_px, px:px + w_px]
-                tmp = dst.astype(np.uint16)
-                itx_ref.inv_txfm_add(tmp, cb.cf, cb.eob, cb.tx, cb.txtp, bd)
-                dst[:] = tmp.astype(plane.dtype)
+                itx_ref.add_residual(plane[py:py + h_px, px:px + w_px],
+                                     cb, bd)
 
     # ------------------------------------------------------------------
     def _recon_uv_tx_block(self, b, pl, x, y, init_x, init_y, sub_cw4,
@@ -248,11 +243,8 @@ class IntraReconstructor:
             if not b.skip:
                 cb = self.coef_by_pos.get((1 + pl, cbx, cby))
                 if cb is not None and cb.eob >= 0:
-                    dst = plane[py:py + h_px, px:px + w_px]
-                    tmp = dst.astype(np.uint16)
-                    itx_ref.inv_txfm_add(tmp, cb.cf, cb.eob, cb.tx,
-                                         cb.txtp, bd)
-                    dst[:] = tmp.astype(plane.dtype)
+                    itx_ref.add_residual(
+                        plane[py:py + h_px, px:px + w_px], cb, bd)
             return
         is_cfl = b.uv_mode == lv.CFL_PRED
 
@@ -290,10 +282,8 @@ class IntraReconstructor:
             cb = self.coef_by_pos.get((1 + pl, cbx, cby))
             if cb is not None and cb.eob >= 0:
                 w_px, h_px = uv_t_dim.w * 4, uv_t_dim.h * 4
-                dst = plane[py:py + h_px, px:px + w_px]
-                tmp = dst.astype(np.uint16)
-                itx_ref.inv_txfm_add(tmp, cb.cf, cb.eob, cb.tx, cb.txtp, bd)
-                dst[:] = tmp.astype(plane.dtype)
+                itx_ref.add_residual(plane[py:py + h_px, px:px + w_px],
+                                     cb, bd)
 
     # ------------------------------------------------------------------
     def _recon_cfl(self, b, cw4, ch4, cbw4, cbh4, uv_t_dim,
@@ -335,4 +325,6 @@ class IntraReconstructor:
 
 
 def reconstruct_intra_frame(plan: FramePlan) -> Picture:
-    return IntraReconstructor(plan).run()
+    r = IntraReconstructor(plan)
+    itx_ref.precompute_residuals(plan.coefs, r.bitdepth)
+    return r.run()

@@ -25,19 +25,30 @@ def _data():
     return np.load(_NPZ_PATH)
 
 
+_CACHE: dict = {}
+
+
 def get(name: str) -> np.ndarray:
-    return _data()[name]
+    """Memoized: NpzFile.__getitem__ decompresses on every access."""
+    arr = _CACHE.get(name)
+    if arr is None:
+        arr = _CACHE[name] = _data()[name]
+        arr.setflags(write=False)
+    return arr
 
 
 def __getattr__(name: str):
     """Module-level lazy attributes for the flat dav1d_* tables."""
-    key = "dav1d_" + name
     d = _data()
+    key = "dav1d_" + name
     if key in d:
-        return d[key]
-    if name in d:
-        return d[name]
-    raise AttributeError(name)
+        val = get(key)
+    elif name in d:
+        val = get(name)
+    else:
+        raise AttributeError(name)
+    globals()[name] = val      # cache as a real module attribute
+    return val
 
 
 # ---- geometry helpers ------------------------------------------------------
