@@ -76,13 +76,23 @@ class Decoder:
 
     # -- dav1d_get_picture ----------------------------------------------
     def get_picture(self):
-        while not self._out and self._pending:
-            chunk = self._pending.popleft()
-            for res in self._dec.decode_temporal_unit(chunk):
-                pic = res[1] if isinstance(res, tuple) else None
-                if pic is not None:
-                    self._out.append(pic)
-        return self._out.popleft() if self._out else None
+        from .parallel.executor import resolve
+        # keep the Stage-B worker fed: parse ahead up to the frame
+        # delay window before blocking on the oldest frame's promise
+        depth = max(2, self.settings.max_frame_delay) \
+            if self.settings.n_threads > 1 else 1
+        while True:
+            while self._pending and len(self._out) < depth:
+                chunk = self._pending.popleft()
+                for res in self._dec.decode_temporal_unit(chunk):
+                    pic = res[1] if isinstance(res, tuple) else None
+                    if pic is not None:
+                        self._out.append(pic)
+            if not self._out:
+                return None
+            pic = resolve(self._out.popleft())
+            if pic is not None:         # else: pipelined invisible frame
+                return pic
 
     def pictures(self):
         """Drain every picture currently decodable."""

@@ -56,6 +56,12 @@ class ObuStreamDecoder:
         # keep parser-visible ref headers in sync
         self.state.refs = [obu_mod.RefSlot() for _ in range(8)]
         self.operating_point_idc = 0
+        # frame pipeline: Stage A (submitting thread) overlaps Stage B
+        # (in-order worker) when threading is requested
+        self.pipeline = None
+        if do_recon and self.settings.n_threads > 1:
+            from .parallel.executor import ReconPipeline
+            self.pipeline = ReconPipeline()
 
     def _split_tiles(self, fh) -> list:
         tiles = []
@@ -162,20 +168,36 @@ class ObuStreamDecoder:
 
     def _attach_metadata(self, pic):
         """HDR metadata + accumulated T.35 travel on the next output
-        picture (reference obu.c:1559-1583, picture.c metadata refs)."""
+        picture (reference obu.c:1559-1583, picture.c metadata refs).
+        For pipelined frames the parse-time state is snapshotted and
+        applied when the promise resolves."""
         st = self.state
-        if pic.seq_hdr is None:
-            pic.seq_hdr = st.seq_hdr
-        pic.content_light = st.content_light
-        pic.mastering_display = st.mastering_display
-        if st.itut_t35:
-            pic.itut_t35 = st.itut_t35
-            st.itut_t35 = []
+        cl, md = st.content_light, st.mastering_display
+        t35, st.itut_t35 = st.itut_t35, []
+        seq = st.seq_hdr
+
+        def apply(p):
+            if p is None:
+                return
+            if p.seq_hdr is None:
+                p.seq_hdr = seq
+            p.content_light = cl
+            p.mastering_display = md
+            if t35:
+                p.itut_t35 = t35
+
+        if hasattr(pic, "add_hook"):
+            pic.add_hook(apply)
+        else:
+            apply(pic)
 
     def _show_existing(self):
+        from .parallel.executor import resolve
         slot = self.refs[self.state.frame_hdr.existing_frame_idx]
         if slot.pic is None:
             raise obu_mod.ParseError("show_existing of empty slot")
+        if hasattr(slot.pic, "result"):
+            slot.pic = resolve(slot.pic)
         # key frames shown via show_existing reset state like a shown key
         if slot.frame_hdr is not None and slot.frame_hdr.frame_type == 0:
             self._refresh_slots_for_key_show_existing(slot)
@@ -375,32 +397,18 @@ class ObuStreamDecoder:
             f.rf.save_tmvs(0, f.rf.iw8, 0, f.rf.ih8)
             rp = {"mv": f.rf.rp_mv, "ref": f.rf.rp_ref_idx}
 
-        # reconstruction
-        pic = None
+        # reconstruction: inline, or submitted to the Stage-B pipeline
+        pic = out_view = out_pic = None
         if self.do_recon and coder_factory is None:
-            if key_or_intra and not fh.allow_intrabc:
-                from .recon.intra_ref import reconstruct_intra_frame
-                pic = reconstruct_intra_frame(plan)
+            if self.pipeline is not None:
+                promise = self.pipeline.submit(
+                    lambda: self._recon_and_finish(plan, refp, fh, seq,
+                                                   key_or_intra))
+                pic = self.pipeline.view(promise, 0)
+                out_view = self.pipeline.view(promise, 1)
             else:
-                from .recon.inter_ref import reconstruct_inter_frame
-                pic = reconstruct_inter_frame(plan, refp)
-            ilf = self.settings.inloop_filters
-            if ilf & 1:              # DAV1D_INLOOPFILTER_DEBLOCK
-                from .ops.lf_ref import apply_deblock
-                apply_deblock(pic, plan)
-            need_lr = (ilf & 4) and any(t != 0 for t in
-                                        fh.restoration.type)
-            pre_cdef = [pl.astype("int32") for pl in pic.planes] \
-                if need_lr else None
-            if ilf & 2:              # DAV1D_INLOOPFILTER_CDEF
-                from .ops.cdef_ref import apply_cdef
-                apply_cdef(pic, plan)
-            if fh.width[0] != fh.width[1]:
-                from .ops.superres import apply_superres
-                pic, pre_cdef = apply_superres(pic, pre_cdef, plan)
-            if need_lr:               # DAV1D_INLOOPFILTER_RESTORATION
-                from .ops.restore_ref import apply_lr
-                apply_lr(pic, pre_cdef, plan)
+                pic, out_pic = self._recon_and_finish(plan, refp, fh, seq,
+                                                      key_or_intra)
 
         # slot refresh (reference decode.c:3669-3695)
         if fh.segmentation.enabled:
@@ -418,17 +426,49 @@ class ObuStreamDecoder:
         self.tile_groups = []
         self.n_tiles = 0
         if self.do_recon:
-            out_pic = pic
-            if pic is not None:
-                pic.seq_hdr = seq
-                pic.frame_hdr = fh
-            if pic is not None and not fh.show_frame and \
-                    not self.settings.output_invisible_frames:
-                out_pic = None       # invisible frame: decode, don't emit
-            if out_pic is not None and fh.film_grain_present and \
-                    self.settings.apply_grain:
-                # grain is out-of-loop: output copy only, refs stay clean
-                from .ops.fg_ref import apply_film_grain
-                out_pic = apply_film_grain(pic, fh, seq)
-            return (plan, out_pic)
+            return (plan, out_view if out_view is not None else out_pic)
         return plan
+
+    def _recon_and_finish(self, plan, refp, fh, seq, key_or_intra):
+        """Stage B for one frame: reconstruction, in-loop filters,
+        super-res, film grain, output gating. Runs inline or on the
+        pipeline worker; returns (reference_pic, output_pic_or_None)."""
+        from .parallel.executor import resolve
+        if refp is not None:
+            for slot in refp:
+                if slot is not None and hasattr(slot.pic, "result"):
+                    slot.pic = resolve(slot.pic)
+        if key_or_intra and not fh.allow_intrabc:
+            from .recon.intra_ref import reconstruct_intra_frame
+            pic = reconstruct_intra_frame(plan)
+        else:
+            from .recon.inter_ref import reconstruct_inter_frame
+            pic = reconstruct_inter_frame(plan, refp)
+        ilf = self.settings.inloop_filters
+        if ilf & 1:              # DAV1D_INLOOPFILTER_DEBLOCK
+            from .ops.lf_ref import apply_deblock
+            apply_deblock(pic, plan)
+        need_lr = (ilf & 4) and any(t != 0 for t in fh.restoration.type)
+        pre_cdef = [pl.astype("int32") for pl in pic.planes] \
+            if need_lr else None
+        if ilf & 2:              # DAV1D_INLOOPFILTER_CDEF
+            from .ops.cdef_ref import apply_cdef
+            apply_cdef(pic, plan)
+        if fh.width[0] != fh.width[1]:
+            from .ops.superres import apply_superres
+            pic, pre_cdef = apply_superres(pic, pre_cdef, plan)
+        if need_lr:               # DAV1D_INLOOPFILTER_RESTORATION
+            from .ops.restore_ref import apply_lr
+            apply_lr(pic, pre_cdef, plan)
+        pic.seq_hdr = seq
+        pic.frame_hdr = fh
+        out_pic = pic
+        if not fh.show_frame and \
+                not self.settings.output_invisible_frames:
+            out_pic = None           # invisible frame: decode, don't emit
+        if out_pic is not None and fh.film_grain_present and \
+                self.settings.apply_grain:
+            # grain is out-of-loop: output copy only, refs stay clean
+            from .ops.fg_ref import apply_film_grain
+            out_pic = apply_film_grain(pic, fh, seq)
+        return pic, out_pic

@@ -1,0 +1,109 @@
+"""Frame-pipeline scheduler: the TPU-native analog of the reference's
+task scheduler + 2-pass frame threading (reference src/thread_task.c,
+decode.c frame_thread structs; SURVEY §2.5/§2.7.3-4).
+
+The reference decouples entropy decode (pass 1) from reconstruction
+(pass 2) so multiple frames are in flight, with atomic progress
+counters gating inter-frame motion compensation. Here the same seam is
+exploited with a much simpler invariant: Stage A (symbol decode) of
+frame N+1 runs on the submitting thread while Stage B (reconstruction
++ in-loop filters + film grain) of frame N runs on a single in-order
+worker. Because the worker is in-order, a frame's reference pictures
+are always fully reconstructed before its own Stage B starts — the
+reference's per-sbrow `lowest_pixel` watermark (decode.c:576-682)
+collapses to promise resolution. Stage A only needs reference *state*
+(headers, CDFs, temporal MVs, segmaps), which the submitting thread
+has immediately.
+
+On TPU the same structure lets host symbol decode for frame N+1 overlap
+device reconstruction of frame N.
+"""
+from __future__ import annotations
+
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+
+class FramePromise:
+    """A settable future for a decoded frame with resolve hooks
+    (metadata attachment happens at resolution time)."""
+
+    __slots__ = ("_event", "_value", "_exc", "_hooks", "_lock")
+
+    def __init__(self):
+        self._event = threading.Event()
+        self._value = None
+        self._exc = None
+        self._hooks = []
+        self._lock = threading.Lock()
+
+    def set_result(self, value):
+        self._value = value
+        self._event.set()
+
+    def set_exception(self, exc):
+        self._exc = exc
+        self._event.set()
+
+    def add_hook(self, fn):
+        """fn(value) runs once at first result(); used to attach
+        parse-time state (metadata) to the resolved picture."""
+        self._hooks.append(fn)
+
+    def result(self):
+        self._event.wait()
+        if self._exc is not None:
+            raise self._exc
+        with self._lock:
+            hooks, self._hooks = self._hooks, []
+        for fn in hooks:
+            fn(self._value)
+        return self._value
+
+
+class _View:
+    """Resolves one element of a tuple-valued FramePromise."""
+
+    __slots__ = ("_promise", "_idx")
+
+    def __init__(self, promise, idx):
+        self._promise = promise
+        self._idx = idx
+
+    def add_hook(self, fn):
+        idx = self._idx
+        self._promise.add_hook(lambda v: fn(v[idx]))
+
+    def result(self):
+        return self._promise.result()[self._idx]
+
+
+def resolve(pic):
+    """Picture-or-promise -> Picture."""
+    return pic.result() if hasattr(pic, "result") else pic
+
+
+class ReconPipeline:
+    """Single in-order Stage-B worker (see module docstring)."""
+
+    def __init__(self):
+        self._pool = ThreadPoolExecutor(max_workers=1,
+                                        thread_name_prefix="stageb")
+
+    def submit(self, job) -> FramePromise:
+        promise = FramePromise()
+
+        def run():
+            try:
+                promise.set_result(job())
+            except BaseException as e:          # surfaced at result()
+                promise.set_exception(e)
+
+        self._pool.submit(run)
+        return promise
+
+    def view(self, promise, idx):
+        return _View(promise, idx)
+
+    def shutdown(self):
+        self._pool.shutdown(wait=True)
