@@ -289,6 +289,7 @@ class ObuStreamDecoder:
             raise obu_mod.ParseError("frame size exceeds frame_size_limit")
         tiles = self._split_tiles(fh) if coder_factory is None else None
         f = FrameContext(seq, fh)
+        f.strict = self.settings.strict_std_compliance
         key_or_intra = not (fh.frame_type & 1)
 
         # reference setup (reference decode.c:3444-3489)

@@ -289,6 +289,12 @@ class TileParser(InterParserMixin):
                 self.decode_sb(root_bl, root_node)
             if self.msac.cnt <= -15:
                 raise ValueError("msac overread at end of sbrow")
+        # strict conformance: payload must end in marker-bit + zeros
+        # (reference decode.c:2745-2747)
+        if getattr(f, "strict", False) and type(self.msac) is MsacDecoder:
+            from .msac import check_trailing_bits
+            if not check_trailing_bits(self.msac):
+                raise ValueError("trailing bits after symbol coder")
 
     # -- loop restoration units (reference decode.c:2662-2714) ----------
     def _read_lr_units(self):

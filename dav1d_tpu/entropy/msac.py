@@ -27,6 +27,21 @@ EC_WIN_SIZE = 64
 MASK64 = (1 << 64) - 1
 
 
+def check_trailing_bits(m: "MsacDecoder") -> bool:
+    """True iff the symbol coder consumed the payload exactly: a single
+    marker 1 bit then zero bits/bytes to the end (reference
+    decode.c:2576-2592 check_trailing_bits_after_symbol_coder)."""
+    n_bits = -(m.cnt + 14)
+    n_bytes = (n_bits + 7) >> 3
+    p = m.pos + n_bytes
+    pattern = 128 >> ((n_bits - 1) & 7)
+    if p < 1 or p > m.end:
+        return False
+    if (m.buf[p - 1] & (2 * pattern - 1)) != pattern:
+        return False
+    return not any(m.buf[p:m.end])
+
+
 class MsacDecoder:
     __slots__ = ("buf", "pos", "end", "dif", "rng", "cnt", "allow_update_cdf")
 

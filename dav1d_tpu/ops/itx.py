@@ -81,6 +81,19 @@ def residual_fn(tx: int, txtp: int, bitdepth: int):
     return jax.jit(fn)
 
 
+def _target_device():
+    """DAV1D_TPU_DEVICE=cpu pins the itx kernels to host XLA (used by
+    the parity tests; the axon TPU plugin ignores JAX_PLATFORMS)."""
+    import os
+    name = os.environ.get("DAV1D_TPU_DEVICE")
+    if name:
+        try:
+            return jax.devices(name)[0]
+        except RuntimeError:
+            return None
+    return None
+
+
 def compute_frame_residuals(coefs, bitdepth: int):
     """Batch all non-skip coefficient blocks of a FramePlan through the
     TPU itx kernels. Returns {id(coef_block): np residual (h, w)}."""
@@ -95,7 +108,21 @@ def compute_frame_residuals(coefs, bitdepth: int):
         if txtp == lv.WHT_WHT:
             res = np.asarray(_wht_batch(cf))
         else:
-            res = np.asarray(residual_fn(tx, txtp, bitdepth)(jnp.asarray(cf)))
+            # pad the batch to the next power of two: bounds the number
+            # of XLA compilations per (tx, txtp) bucket to log2(B_max)
+            B = cf.shape[0]
+            Bp = 1 << (B - 1).bit_length()
+            if Bp != B:
+                cf = np.concatenate(
+                    [cf, np.zeros((Bp - B, cf.shape[1]), np.int32)])
+            dev = _target_device()
+            if dev is not None:
+                with jax.default_device(dev):
+                    res = np.asarray(residual_fn(tx, txtp, bitdepth)(
+                        jnp.asarray(cf)))[:B]
+            else:
+                res = np.asarray(residual_fn(tx, txtp, bitdepth)(
+                    jnp.asarray(cf)))[:B]
         for b, r in zip(blocks, res):
             out[id(b)] = r
     return out

@@ -173,7 +173,19 @@ def precompute_residuals(coefs, bitdepth: int) -> None:
     and run the 2-pass transforms with the block index folded into the
     batch dimension (SURVEY §7 stage-B batching; bit-exact because the
     1-D kernels map zero rows to zero rows). Stores (h, w) pre-shift
-    residuals in cb.res; dc-only and WHT blocks keep the scalar path."""
+    residuals in cb.res; dc-only and WHT blocks keep the scalar path.
+
+    DAV1D_TPU_BACKEND=jax routes every bucket through the jitted TPU
+    kernels (ops/itx.py) instead of the numpy host path."""
+    import os
+    if os.environ.get("DAV1D_TPU_BACKEND") == "jax":
+        from .itx import compute_frame_residuals
+        res = compute_frame_residuals(coefs, bitdepth)
+        for cb in coefs:
+            r = res.get(id(cb))
+            if r is not None:
+                cb.res = r
+        return
     groups = {}
     for cb in coefs:
         if cb.eob < 1 or cb.txtp == lv.WHT_WHT:
