@@ -31,6 +31,10 @@ DECODEFRAMETYPE_REFERENCE = 1
 DECODEFRAMETYPE_INTRA = 2
 DECODEFRAMETYPE_KEY = 3
 
+# event flags (reference dav1d.h:268-295)
+EVENT_FLAG_NEW_SEQUENCE = 1
+EVENT_FLAG_NEW_OP_PARAMS_INFO = 2
+
 
 @dataclass
 class Settings:
@@ -47,6 +51,7 @@ class Settings:
     output_invisible_frames: bool = False
     inloop_filters: int = INLOOPFILTER_ALL
     decode_frame_type: int = DECODEFRAMETYPE_ALL
+    logger: object = None      # callable(str) -> None; None = stderr
 
 
 class DecodeError(Exception):
@@ -126,6 +131,28 @@ class Decoder:
     @property
     def seq_hdr(self):
         return self._dec.state.seq_hdr
+
+    def get_event_flags(self) -> int:
+        """dav1d_get_event_flags equivalent (reference dav1d.h:268-295,
+        lib.c): returns and clears the accumulated event mask."""
+        flags = self._dec.event_flags
+        self._dec.event_flags = 0
+        return flags
+
+    def get_decode_error_data_props(self):
+        """dav1d_get_decode_error_data_props equivalent (reference
+        lib.c:716-725): the input buffer whose decode failed last."""
+        return self._dec.error_data
+
+    # -- ref-state snapshot (SURVEY §5: checkpoint unit) ---------------
+    def snapshot(self):
+        """Capture the decoder's resumable state: the 8 ref slots
+        (picture/segmap/refmvs/CDF/poc). Restoring this tuple after
+        seeking past its point resumes decode without a keyframe."""
+        return self._dec.snapshot()
+
+    def restore(self, snap) -> None:
+        self._dec.restore(snap)
 
 
 def parse_sequence_header(data: bytes):

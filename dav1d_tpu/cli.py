@@ -42,6 +42,8 @@ def main(argv=None):
     p.add_argument("--demuxer", choices=["ivf", "annexb", "section5"])
     p.add_argument("--muxer", choices=["md5", "yuv", "yuv4mpeg2", "null"])
     p.add_argument("--quiet", "-q", action="store_true")
+    p.add_argument("--frametimes", type=str, default=None,
+                   help="dump per-frame decode times (ns) to file")
     p.add_argument("--limit", "-l", type=int, default=0)
     p.add_argument("--skip", "-s", type=int, default=0)
     p.add_argument("--filmgrain", type=int, default=None)
@@ -115,6 +117,8 @@ def main(argv=None):
             YuvMuxer(out_fh)
 
     dec = Decoder(settings)
+    ft_fh = open(args.frametimes, "w") if args.frametimes else None
+    t_prev = time.monotonic_ns()
     n = 0
     n_tu = 0
     to_skip = args.skip
@@ -142,6 +146,10 @@ def main(argv=None):
             for pic in dec.pictures():
                 mux.write_picture(pic)
                 n += 1
+                if ft_fh is not None:
+                    now = time.monotonic_ns()
+                    print(now - t_prev, file=ft_fh)
+                    t_prev = now
                 if args.limit and n >= args.limit:
                     break
         except Exception as e:
@@ -176,6 +184,8 @@ def main(argv=None):
             out = sys.stdout if args.output in (None, "-") else \
                 open(args.output, "w")
             print(digest, file=out)
+    if ft_fh is not None:
+        ft_fh.close()
     if out_fh is not None and out_fh is not sys.stdout.buffer:
         out_fh.close()
     if not args.quiet:

@@ -56,6 +56,8 @@ class ObuStreamDecoder:
         # keep parser-visible ref headers in sync
         self.state.refs = [obu_mod.RefSlot() for _ in range(8)]
         self.operating_point_idc = 0
+        self.event_flags = 0            # reference dav1d.h:268-295
+        self.error_data = None          # failing input (lib.c:716-725)
         # frame pipeline: Stage A (submitting thread) overlaps Stage B
         # (in-order worker) when threading is requested
         self.pipeline = None
@@ -85,12 +87,46 @@ class ObuStreamDecoder:
         when do_recon is off, else (FramePlan|None, Picture)."""
         out = []
         pos = 0
-        while pos < len(data):
-            consumed, res = self._parse_obu(data[pos:])
-            if res is not None:
-                out.append(res)
-            pos += consumed
+        try:
+            while pos < len(data):
+                consumed, res = self._parse_obu(data[pos:])
+                if res is not None:
+                    out.append(res)
+                pos += consumed
+        except Exception:
+            self.error_data = data      # reference lib.c cached_error_props
+            raise
         return out
+
+    def snapshot(self):
+        """Resumable ref-state tuple (SURVEY §5: 8 ref slots + CDFs).
+        Pictures/arrays are immutable-by-convention post-frame, so
+        slots are shared, with CDF copies (they adapt in place)."""
+        from .parallel.executor import resolve
+        slots = []
+        for s in self.refs:
+            slots.append(RefSlot(
+                pic=resolve(s.pic) if s.pic is not None else None,
+                frame_hdr=s.frame_hdr, poc=s.poc,
+                refpoc=list(s.refpoc) if s.refpoc else s.refpoc,
+                cdf=s.cdf.copy() if s.cdf is not None else None,
+                rp=s.rp, segmap=s.segmap))
+        hdrs = [s.frame_hdr for s in self.state.refs]
+        return (self.state.seq_hdr, slots, hdrs)
+
+    def restore(self, snap) -> None:
+        seq, slots, hdrs = snap
+        self.state.seq_hdr = seq
+        self.refs = [RefSlot(
+            pic=s.pic, frame_hdr=s.frame_hdr, poc=s.poc,
+            refpoc=list(s.refpoc) if s.refpoc else s.refpoc,
+            cdf=s.cdf.copy() if s.cdf is not None else None,
+            rp=s.rp, segmap=s.segmap) for s in slots]
+        for i, h in enumerate(hdrs):
+            self.state.refs[i].frame_hdr = h
+        self.state.frame_hdr = None
+        self.tile_groups = []
+        self.n_tiles = 0
 
     def _parse_obu(self, data: bytes):
         st = self.state
@@ -125,11 +161,22 @@ class ObuStreamDecoder:
 
         res = None
         if obu_type == ObuType.SEQ_HDR:
+            prev = st.seq_hdr
             st.seq_hdr = obu_mod.parse_seq_hdr(
                 GetBits(data[payload_start:end]), st.strict)
             opi = min(self.settings.operating_point,
                       st.seq_hdr.num_operating_points - 1)
             self.operating_point_idc = st.seq_hdr.operating_points[opi].idc
+            # event flags (reference obu.c seq-change detection)
+            if prev is None or (prev.max_width, prev.max_height,
+                                prev.layout, prev.hbd) != \
+                    (st.seq_hdr.max_width, st.seq_hdr.max_height,
+                     st.seq_hdr.layout, st.seq_hdr.hbd):
+                self.event_flags |= 1   # NEW_SEQUENCE
+            if prev is None or \
+                    prev.num_operating_points != \
+                    st.seq_hdr.num_operating_points:
+                self.event_flags |= 2   # NEW_OP_PARAMS_INFO
         elif obu_type in (ObuType.FRAME_HDR, ObuType.FRAME,
                           ObuType.REDUNDANT_FRAME_HDR):
             if obu_type == ObuType.REDUNDANT_FRAME_HDR and st.frame_hdr:

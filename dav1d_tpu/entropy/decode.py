@@ -237,7 +237,10 @@ class TileParser(InterParserMixin):
             if native.available():
                 self.coef_native = native.NativeCoefTile(self)
         self.cur_sb_cdef_idx = None
-        self.dbg = False   # mirror of the reference's DEBUG_BLOCK_INFO trace
+        # symbol trace (mirror of the reference's DEBUG_BLOCK_INFO;
+        # tools/trace_diff.py diffs this against an instrumented dav1d)
+        import os as _os
+        self.dbg = bool(_os.environ.get("DAV1D_TPU_TRACE"))
         # inter-frame state: refmvs tile view + per-sb luma txtp scratch
         self.rt = None
         if not f.key_or_intra or fh.allow_intrabc:
