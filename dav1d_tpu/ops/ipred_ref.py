@@ -100,6 +100,11 @@ def prepare_intra_edges(x, have_left, y, have_top, w, h, edge_flags,
             return int(top_sb_edge_row[x * 4 + i])
         return int(dst_plane[py - 1, px + i])
 
+    def dst_top_vec(i0, n):
+        if top_sb_edge_row is not None:
+            return top_sb_edge_row[x * 4 + i0:x * 4 + i0 + n]
+        return dst_plane[py - 1, px + i0:px + i0 + n]
+
     have_dst_top = have_top and (needs_top or needs_topleft or
                                  (needs_left and not have_left))
 
@@ -107,8 +112,8 @@ def prepare_intra_edges(x, have_left, y, have_top, w, h, edge_flags,
         sz = th << 2
         if have_left:
             px_have = min(sz, (h - y) << 2)
-            for i in range(px_have):
-                edge[-1 - i] = int(dst_plane[py + i, px - 1])
+            edge.rng(-px_have, px_have)[:] = \
+                dst_plane[py:py + px_have, px - 1][::-1]
             if px_have < sz:
                 edge.rng(-sz, sz - px_have)[:] = edge[-px_have]
         else:
@@ -119,8 +124,8 @@ def prepare_intra_edges(x, have_left, y, have_top, w, h, edge_flags,
                 (edge_flags & EDGE_I444_LEFT_HAS_BOTTOM)
             if have_bl:
                 px_have = min(sz, (h - y - th) << 2)
-                for i in range(px_have):
-                    edge[-sz - 1 - i] = int(dst_plane[py + sz + i, px - 1])
+                edge.rng(-sz - px_have, px_have)[:] = \
+                    dst_plane[py + sz:py + sz + px_have, px - 1][::-1]
                 if px_have < sz:
                     edge.rng(-2 * sz, sz - px_have)[:] = edge[-sz - px_have]
             else:
@@ -130,8 +135,7 @@ def prepare_intra_edges(x, have_left, y, have_top, w, h, edge_flags,
         sz = tw << 2
         if have_top:
             px_have = min(sz, (w - x) << 2)
-            for i in range(px_have):
-                edge[1 + i] = dst_top(i)
+            edge.rng(1, px_have)[:] = dst_top_vec(0, px_have)
             if px_have < sz:
                 edge.rng(1 + px_have, sz - px_have)[:] = edge[px_have]
         else:
@@ -143,8 +147,7 @@ def prepare_intra_edges(x, have_left, y, have_top, w, h, edge_flags,
                 (edge_flags & EDGE_I444_TOP_HAS_RIGHT)
             if have_tr:
                 px_have = min(sz, (w - x - tw) << 2)
-                for i in range(px_have):
-                    edge[1 + sz + i] = dst_top(sz + i)
+                edge.rng(1 + sz, px_have)[:] = dst_top_vec(sz, px_have)
                 if px_have < sz:
                     edge.rng(1 + sz + px_have, sz - px_have)[:] = \
                         edge[sz + px_have]
@@ -313,10 +316,16 @@ _EDGE_KERNELS = np.array([[0, 4, 8, 4, 0], [0, 5, 6, 5, 0], [2, 4, 4, 4, 2]],
 
 def _filter_edge(sz, lim_from, lim_to, src, src_from, src_to, strength):
     """reference ipred_tmpl.c:363-386. src: callable i -> value with
-    clipping indices [src_from, src_to)."""
+    clipping indices [src_from, src_to); may carry (arr, base) attrs
+    for a vectorized gather."""
     kern = _EDGE_KERNELS[strength - 1]
     idx = np.clip(np.arange(-2, sz + 2), src_from, src_to - 1)
-    vals = np.array([src(int(i)) for i in idx], np.int64)
+    arrbase = getattr(src, "arrbase", None)
+    if arrbase is not None:
+        arr, base = arrbase
+        vals = arr[base + idx].astype(np.int64)
+    else:
+        vals = np.array([src(int(i)) for i in idx], np.int64)
     acc = np.zeros(sz, np.int64)
     for j in range(5):
         k = int(kern[j])
@@ -339,7 +348,12 @@ def _upsample_edge(hsz, src, src_from, src_to, bd):
     out = np.zeros(hsz * 2, np.int32)
     bd_max = (1 << bd) - 1
     idx = np.clip(np.arange(-1, hsz + 1), src_from, src_to - 1)
-    vals = np.array([src(int(i)) for i in idx], np.int64)
+    arrbase = getattr(src, "arrbase", None)
+    if arrbase is not None:
+        arr, base = arrbase
+        vals = arr[base + idx].astype(np.int64)
+    else:
+        vals = np.array([src(int(i)) for i in idx], np.int64)
     n = hsz - 1
     out[0:2 * n:2] = vals[1:1 + n]
     s = (-vals[0:n] + 9 * vals[1:1 + n] + 9 * vals[2:2 + n]
@@ -358,6 +372,7 @@ def ipred_z1(e, w, h, angle, bd):
 
     def src(i):
         return int(e[1 + i])
+    src.arrbase = (e.buf, e.center + 1)
 
     if upsample_above:
         top = _upsample_edge(w + h, src, -1, w + min(w, h), bd)
@@ -371,7 +386,8 @@ def ipred_z1(e, w, h, angle, bd):
                                strength)
             max_base_x = w + h - 1
         else:
-            top = np.array([src(i) for i in range(w + min(w, h))], np.int32)
+            top = e.buf[e.center + 1:e.center + 1 + w + min(w, h)] \
+                .astype(np.int32)
             max_base_x = w + min(w, h) - 1
     base_inc = 1 + upsample_above
     top = np.asarray(top, np.int64)
@@ -401,9 +417,11 @@ def ipred_z2(e, w, h, angle, bd, max_width, max_height):
 
     def src_top(i):      # topleft_in[1 + i]
         return int(e[1 + i])
+    src_top.arrbase = (e.buf, e.center + 1)
 
     def src_tl(i):       # topleft_in[i]
         return int(e[i])
+    src_tl.arrbase = (e.buf, e.center)
 
     if upsample_above:
         up = _upsample_edge(w + 1, src_tl, 0, w + 1, bd)
@@ -416,10 +434,11 @@ def ipred_z2(e, w, h, angle, bd, max_width, max_height):
             buf[C + 1:C + 1 + w] = _filter_edge(w, 0, max_width, src_top,
                                                 -1, w, strength)
         else:
-            buf[C + 1:C + 1 + w] = [src_top(i) for i in range(w)]
+            buf[C + 1:C + 1 + w] = e.buf[e.center + 1:e.center + 1 + w]
     if upsample_left:
         def src_l(i):    # topleft_in[-height + i]
             return int(e[-h + i])
+        src_l.arrbase = (e.buf, e.center - h)
         up = _upsample_edge(h + 1, src_l, 0, h + 1, bd)
         buf[C - 2 * h:C + 1] = up[:2 * h + 1]
         dy <<= 1
@@ -429,10 +448,11 @@ def ipred_z2(e, w, h, angle, bd, max_width, max_height):
         if strength:
             def src_l(i):
                 return int(e[-h + i])
+            src_l.arrbase = (e.buf, e.center - h)
             buf[C - h:C] = _filter_edge(h, h - max_height, h, src_l,
                                         0, h + 1, strength)
         else:
-            buf[C - h:C] = [int(e[-h + i]) for i in range(h)]
+            buf[C - h:C] = e.buf[e.center - h:e.center]
     buf[C] = int(e[0])
 
     base_inc_x = 1 + upsample_above
@@ -463,6 +483,7 @@ def ipred_z3(e, w, h, angle, bd):
 
     def src(i):      # topleft_in[-(w+h) + i]
         return int(e[-(w + h) + i])
+    src.arrbase = (e.buf, e.center - (w + h))
 
     if upsample_left:
         arr = _upsample_edge(w + h, src, max(w - h, 0), w + h + 1, bd)
@@ -480,8 +501,8 @@ def ipred_z3(e, w, h, angle, bd):
             left_anchor = w + h - 1
             max_base_y = w + h - 1
         else:
-            base_arr = np.array([int(e[-(w + h) + i]) for i in range(w + h)],
-                                np.int32)
+            base_arr = e.buf[e.center - (w + h):e.center] \
+                .astype(np.int32)
             left_anchor = w + h - 1   # left = topleft_in[-1]
             max_base_y = h + min(w, h) - 1
     base_inc = 1 + upsample_left
@@ -500,48 +521,64 @@ def ipred_z3(e, w, h, angle, bd):
     return out.astype(np.int32)
 
 
-def ipred_filter(e, w, h, filt_idx, bd):
-    """reference ipred_tmpl.c:620-659 (non-x86 FILTER layout)."""
-    filt_idx &= 511
-    flt = tables.get("dav1d_filter_intra_taps")[filt_idx].astype(np.int32)
-    bd_max = (1 << bd) - 1
-    out = np.zeros((h, w), np.int32)
+_FILTER_TAPS = {}
 
-    def get(yy, xx):
-        # coordinates relative to block; negative = edge pixels
-        if yy < 0:
-            return int(e[1 + xx])
-        if xx < 0:
-            return int(e[-(yy + 1)]) if yy >= 0 else int(e[0])
-        return int(out[yy, xx])
+
+def _filter_tap_matrix(filt_idx):
+    """(8, 7) de-interleaved taps from the x86 layout the table dump
+    carries (reference tables.c:751-757): row fi = taps for output
+    pixel fi, columns p0..p6."""
+    m = _FILTER_TAPS.get(filt_idx)
+    if m is None:
+        flt = tables.get("dav1d_filter_intra_taps")[filt_idx]             .astype(np.int64)
+        m = np.zeros((8, 7), np.int64)
+        for fi in range(8):
+            m[fi] = (flt[2 * fi], flt[2 * fi + 1], flt[16 + 2 * fi],
+                     flt[17 + 2 * fi], flt[32 + 2 * fi], flt[33 + 2 * fi],
+                     flt[48 + 2 * fi])
+        _FILTER_TAPS[filt_idx] = m = [[int(v) for v in row] for row in m]
+    return m
+
+
+def ipred_filter(e, w, h, filt_idx, bd):
+    """reference ipred_tmpl.c:620-659. 4x2 blocks have a raster
+    wavefront dependency (left/top outputs feed the next block), so the
+    walk is scalar; the 8-tap accumulation per block is unrolled on
+    Python ints (no per-pixel ufunc dispatch)."""
+    filt_idx &= 511
+    M = _filter_tap_matrix(filt_idx)
+    bd_max = (1 << bd) - 1
+    eb, ec = e.buf, e.center
+    out = [[0] * w for _ in range(h)]
 
     for y in range(0, h, 2):
         for x in range(0, w, 4):
-            if y == 0 and x == 0:
-                p0 = int(e[0])
-            elif y == 0:
-                p0 = get(-1, x - 1)
-            elif x == 0:
-                p0 = int(e[-y])
+            if y == 0:
+                p0 = int(eb[ec + x - 1 + 1]) if x else int(eb[ec])
+                p1, p2, p3, p4 = (int(eb[ec + 1 + x]), int(eb[ec + 2 + x]),
+                                  int(eb[ec + 3 + x]), int(eb[ec + 4 + x]))
             else:
-                p0 = get(y - 1, x - 1)
-            tops = [get(y - 1, x + i) for i in range(4)]
-            lefts = [get(y, x - 1), get(y + 1, x - 1)]
-            p1, p2, p3, p4 = tops
-            p5, p6 = lefts
-            for yy in range(2):
-                for xx in range(4):
-                    fi = yy * 4 + xx
-                    # tables_data.npz carries the x86 interleaved tap
-                    # layout (reference tables.c:751-757)
-                    acc = (int(flt[2 * fi]) * p0 + int(flt[2 * fi + 1]) * p1 +
-                           int(flt[16 + 2 * fi]) * p2 +
-                           int(flt[17 + 2 * fi]) * p3 +
-                           int(flt[32 + 2 * fi]) * p4 +
-                           int(flt[33 + 2 * fi]) * p5 +
-                           int(flt[48 + 2 * fi]) * p6)
-                    out[y + yy, x + xx] = np.clip((acc + 8) >> 4, 0, bd_max)
-    return out
+                row = out[y - 1]
+                p0 = row[x - 1] if x else int(eb[ec - y])
+                p1, p2, p3, p4 = row[x], row[x + 1], row[x + 2], row[x + 3]
+            if x:
+                p5, p6 = out[y][x - 1], out[y + 1][x - 1]
+            else:
+                p5, p6 = int(eb[ec - (y + 1)]), int(eb[ec - (y + 2)])
+            r0, r1 = out[y], out[y + 1]
+            for fi in range(8):
+                t = M[fi]
+                acc = (t[0] * p0 + t[1] * p1 + t[2] * p2 + t[3] * p3 +
+                       t[4] * p4 + t[5] * p5 + t[6] * p6 + 8) >> 4
+                if acc < 0:
+                    acc = 0
+                elif acc > bd_max:
+                    acc = bd_max
+                if fi < 4:
+                    r0[x + fi] = acc
+                else:
+                    r1[x + fi - 4] = acc
+    return np.asarray(out, np.int32)
 
 
 def cfl_ac(y_plane, py, px, ss_hor, ss_ver, w_pad, h_pad, cw, ch):
@@ -549,20 +586,21 @@ def cfl_ac(y_plane, py, px, ss_hor, ss_ver, w_pad, h_pad, cw, ch):
     y_plane: luma plane; (py, px) luma pixel origin; cw/ch chroma pred
     size in px. Returns (ch, cw) int32."""
     ac = np.zeros((ch, cw), np.int32)
-    for y in range(ch - 4 * h_pad):
-        for x in range(cw - 4 * w_pad):
-            s = int(y_plane[py + (y << ss_ver), px + (x << ss_hor)])
-            if ss_hor:
-                s += int(y_plane[py + (y << ss_ver), px + x * 2 + 1])
-            if ss_ver:
-                s += int(y_plane[py + (y << ss_ver) + 1, px + (x << ss_hor)])
-                if ss_hor:
-                    s += int(y_plane[py + (y << ss_ver) + 1, px + x * 2 + 1])
-            ac[y, x] = s << (1 + (not ss_ver) + (not ss_hor))
-        for x in range(cw - 4 * w_pad, cw):
-            ac[y, x] = ac[y, x - 1]
-    for y in range(ch - 4 * h_pad, ch):
-        ac[y] = ac[y - 1]
+    nh, nw = ch - 4 * h_pad, cw - 4 * w_pad
+    src = y_plane[py:py + (nh << ss_ver), px:px + (nw << ss_hor)] \
+        .astype(np.int32)
+    blk = src[::1 << ss_ver, ::1 << ss_hor].copy()
+    if ss_hor:
+        blk += src[::1 << ss_ver, 1::2]
+    if ss_ver:
+        blk += src[1::2, ::1 << ss_hor]
+        if ss_hor:
+            blk += src[1::2, 1::2]
+    ac[:nh, :nw] = blk << (1 + (not ss_ver) + (not ss_hor))
+    if nw < cw:
+        ac[:nh, nw:] = ac[:nh, nw - 1:nw]
+    if nh < ch:
+        ac[nh:] = ac[nh - 1]
     log2sz = (cw.bit_length() - 1) + (ch.bit_length() - 1)
     total = int(ac.sum()) + ((1 << log2sz) >> 1)
     total >>= log2sz
