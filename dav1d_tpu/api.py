@@ -54,6 +54,16 @@ class Settings:
     logger: object = None      # callable(str) -> None; None = stderr
 
 
+@dataclass
+class DataProps:
+    """Dav1dDataProps (reference include/dav1d/data.h:35-43):
+    caller-set input metadata carried through to output pictures."""
+    timestamp: int = -9223372036854775808    # INT64_MIN like the reference
+    duration: int = 0
+    offset: int = -1
+    user_data: object = None
+
+
 class DecodeError(Exception):
     pass
 
@@ -73,11 +83,11 @@ class Decoder:
         self._out: deque = deque()
 
     # -- dav1d_send_data ------------------------------------------------
-    def send_data(self, data: bytes) -> None:
+    def send_data(self, data: bytes, props: DataProps | None = None) -> None:
         if not isinstance(data, (bytes, bytearray, memoryview)):
             raise TypeError("data must be bytes-like")
         if data:
-            self._pending.append(bytes(data))
+            self._pending.append((bytes(data), props))
 
     # -- dav1d_get_picture ----------------------------------------------
     def get_picture(self):
@@ -88,15 +98,17 @@ class Decoder:
             if self.settings.n_threads > 1 else 1
         while True:
             while self._pending and len(self._out) < depth:
-                chunk = self._pending.popleft()
+                chunk, props = self._pending.popleft()
                 for res in self._dec.decode_temporal_unit(chunk):
                     pic = res[1] if isinstance(res, tuple) else None
                     if pic is not None:
-                        self._out.append(pic)
+                        self._out.append((pic, props))
             if not self._out:
                 return None
-            pic = resolve(self._out.popleft())
+            entry, props = self._out.popleft()
+            pic = resolve(entry)
             if pic is not None:         # else: pipelined invisible frame
+                pic.props = props or DataProps()
                 return pic
 
     def pictures(self):
@@ -131,6 +143,13 @@ class Decoder:
     @property
     def seq_hdr(self):
         return self._dec.state.seq_hdr
+
+    def get_frame_delay(self) -> int:
+        """dav1d_get_frame_delay equivalent (reference dav1d.h:310-323,
+        lib.c:109-138): frames in flight before output is available."""
+        if self.settings.n_threads > 1:
+            return max(2, self.settings.max_frame_delay)
+        return 1
 
     def get_event_flags(self) -> int:
         """dav1d_get_event_flags equivalent (reference dav1d.h:268-295,

@@ -9,7 +9,7 @@ import numpy as np
 class Picture:
     __slots__ = ("planes", "w", "h", "bpc", "layout", "layout_name",
                  "ss_hor", "ss_ver", "content_light", "mastering_display",
-                 "itut_t35", "seq_hdr", "frame_hdr")
+                 "itut_t35", "seq_hdr", "frame_hdr", "props")
 
     _NAMES = {0: "I400", 1: "I420", 2: "I422", 3: "I444"}
 
@@ -26,6 +26,7 @@ class Picture:
         self.itut_t35 = []              # ITU-T T.35 metadata OBUs
         self.seq_hdr = None             # set by the decoder on output
         self.frame_hdr = None
+        self.props = None               # DataProps of the source input
         dtype = np.uint8 if bpc == 8 else np.uint16
         # padded to 128-aligned dims like the reference allocator
         # (reference picture.c:46-49) — edge tx/pred blocks overshoot the
