@@ -75,9 +75,14 @@ class ObuStreamDecoder:
                 if j == tg.end:
                     tile_sz = len(data) - pos
                 else:
+                    if pos + n_bytes > len(data):
+                        raise obu_mod.ParseError("truncated tile size field")
                     tile_sz = int.from_bytes(data[pos:pos + n_bytes],
                                              "little") + 1
                     pos += n_bytes
+                # reference decode.c:3167: tile_sz > remaining is an error
+                if tile_sz < 0 or pos + tile_sz > len(data):
+                    raise obu_mod.ParseError("tile size exceeds tile group")
                 tiles.append(data[pos:pos + tile_sz])
                 pos += tile_sz
         return tiles
@@ -168,11 +173,13 @@ class ObuStreamDecoder:
                       st.seq_hdr.num_operating_points - 1)
             self.operating_point_idc = st.seq_hdr.operating_points[opi].idc
             # event flags (reference obu.c seq-change detection)
-            if prev is None or (prev.max_width, prev.max_height,
-                                prev.layout, prev.hbd) != \
-                    (st.seq_hdr.max_width, st.seq_hdr.max_height,
-                     st.seq_hdr.layout, st.seq_hdr.hbd):
+            if prev is None or not self._seq_hdr_op_equal(prev, st.seq_hdr):
                 self.event_flags |= 1   # NEW_SEQUENCE
+                if prev is not None:
+                    # a genuinely different sequence invalidates all ref
+                    # state (reference obu.c:1239-1252: frame_hdr + all 8
+                    # ref slots cleared on header change)
+                    self._reset_ref_state()
             if prev is None or \
                     prev.num_operating_points != \
                     st.seq_hdr.num_operating_points:
@@ -191,6 +198,12 @@ class ObuStreamDecoder:
             self.tile_groups = []
             self.n_tiles = 0
             if st.frame_hdr.show_existing_frame:
+                if obu_type == ObuType.FRAME:
+                    # reference obu.c:1312-1315: OBU_FRAMEs shouldn't be
+                    # signaled with show_existing_frame
+                    st.frame_hdr = None
+                    raise obu_mod.ParseError(
+                        "OBU_FRAME with show_existing_frame")
                 if self._frame_type_skipped(
                         self.refs[st.frame_hdr.existing_frame_idx]
                         .frame_hdr, show_existing=True):
@@ -212,6 +225,29 @@ class ObuStreamDecoder:
         if isinstance(res, tuple) and res[1] is not None:
             self._attach_metadata(res[1])
         return end, res
+
+    @staticmethod
+    def _seq_hdr_op_equal(a, b) -> bool:
+        """Full-field comparison up to the operating-point parameter
+        block (reference obu.c offsetof memcmp on Dav1dSequenceHeader)."""
+        skip = ("operating_points",)
+        for k in a.__dataclass_fields__:
+            if k in skip:
+                continue
+            if getattr(a, k) != getattr(b, k):
+                return False
+        # operating-point layer structure matters for filtering
+        idcs_a = [op.idc for op in a.operating_points]
+        idcs_b = [op.idc for op in b.operating_points]
+        return idcs_a == idcs_b
+
+    def _reset_ref_state(self) -> None:
+        """Drop the pending frame and every ref slot (new sequence)."""
+        self.state.frame_hdr = None
+        self.tile_groups = []
+        self.n_tiles = 0
+        self.refs = [RefSlot() for _ in range(8)]
+        self.state.refs = [obu_mod.RefSlot() for _ in range(8)]
 
     def _attach_metadata(self, pic):
         """HDR metadata + accumulated T.35 travel on the next output
@@ -280,10 +316,16 @@ class ObuStreamDecoder:
         gb = GetBits(payload)
         start, end = obu_mod.parse_tile_hdr(st, gb)
         gb.bytealign()
+        n_expected = st.frame_hdr.tiling.cols * st.frame_hdr.tiling.rows
+        # spec 6.10.1 sanity (reference obu.c:1343-1352): tile groups must
+        # be contiguous, in order, and within the frame's tile count
+        if start > end or start != self.n_tiles or end >= n_expected:
+            self.tile_groups = []
+            self.n_tiles = 0
+            raise obu_mod.ParseError("invalid tile group range")
         self.tile_groups.append(
             TileGroupData(start, end, payload[gb.byte_pos():]))
         self.n_tiles += end - start + 1
-        n_expected = st.frame_hdr.tiling.cols * st.frame_hdr.tiling.rows
         if self.n_tiles == n_expected:
             if self._frame_type_skipped(st.frame_hdr):
                 self._skip_frame_headers_only()

@@ -28,7 +28,7 @@ class FramePromise:
     """A settable future for a decoded frame with resolve hooks
     (metadata attachment happens at resolution time)."""
 
-    __slots__ = ("_event", "_value", "_exc", "_hooks", "_lock")
+    __slots__ = ("_event", "_value", "_exc", "_hooks", "_lock", "_resolved")
 
     def __init__(self):
         self._event = threading.Event()
@@ -36,28 +36,39 @@ class FramePromise:
         self._exc = None
         self._hooks = []
         self._lock = threading.Lock()
+        self._resolved = False
 
     def set_result(self, value):
-        self._value = value
+        with self._lock:
+            self._value = value
+            self._resolved = True
+            hooks, self._hooks = self._hooks, []
+        for fn in hooks:
+            fn(value)
         self._event.set()
 
     def set_exception(self, exc):
-        self._exc = exc
+        with self._lock:
+            self._exc = exc
+            self._resolved = True
+            self._hooks = []
         self._event.set()
 
     def add_hook(self, fn):
-        """fn(value) runs once at first result(); used to attach
-        parse-time state (metadata) to the resolved picture."""
-        self._hooks.append(fn)
+        """fn(value) runs once at resolution (or immediately if the
+        promise already resolved); used to attach parse-time state
+        (metadata) to the resolved picture."""
+        with self._lock:
+            if not self._resolved:
+                self._hooks.append(fn)
+                return
+        if self._exc is None:
+            fn(self._value)
 
     def result(self):
         self._event.wait()
         if self._exc is not None:
             raise self._exc
-        with self._lock:
-            hooks, self._hooks = self._hooks, []
-        for fn in hooks:
-            fn(self._value)
         return self._value
 
 
