@@ -707,11 +707,13 @@ class TileParser(InterParserMixin):
         cache = []
         l_cache = int(self.pal_sz_uv[1][by4]) if pl else \
             int(self.l.pal_sz[by4])
-        # don't reuse above palette outside SB64 boundaries
-        a_cache = (int(self.pal_sz_uv[0][bx4]) if pl else
+        # don't reuse above palette outside SB64 boundaries; the above
+        # caches are 32-entry rings indexed bx4 & 31 (reference
+        # internal.h:401-404 al_pal[2][32], decode.c:125 bx4 = t->bx & 31)
+        a_cache = (int(self.pal_sz_uv[0][bx4 & 31]) if pl else
                    int(self.a.pal_sz[bx4])) if (by4 & 15) else 0
         lpal = self.al_pal[1, by4, pl]
-        apal = self.al_pal[0, bx4, pl]
+        apal = self.al_pal[0, bx4 & 31, pl]
         li = ai = 0
         while l_cache and a_cache:
             lv_, av = int(lpal[li]), int(apal[ai])
@@ -880,10 +882,12 @@ class TileParser(InterParserMixin):
         return m
 
     def _copy_pal_block(self, b, bx4, by4, bw4, bh4, uv):
-        """reference recon_tmpl.c:2136-2170 copy_pal_block_y/uv."""
+        """reference recon_tmpl.c:2136-2170 copy_pal_block_y/uv.
+        The above cache is a 32-entry ring (bx4 & 31)."""
         planes = (1, 2) if uv else (0,)
+        ax = bx4 & 31
         for pl in planes:
-            self.al_pal[0, bx4:bx4 + bw4, pl] = b.pal[pl]
+            self.al_pal[0, ax:min(ax + bw4, 32), pl] = b.pal[pl]
             self.al_pal[1, by4:by4 + bh4, pl] = b.pal[pl]
 
     # ------------------------------------------------------------------
@@ -1178,7 +1182,7 @@ class TileParser(InterParserMixin):
         a.tx[bx4:bx4 + bw4] = t_dim_f.lw
         a.mode[bx4:bx4 + bw4] = y_mode_nofilt
         a.pal_sz[bx4:bx4 + bw4] = b.pal_sz[0]
-        self.pal_sz_uv[0][bx4:bx4 + bw4] = \
+        self.pal_sz_uv[0][bx4 & 31:min((bx4 & 31) + bw4, 32)] = \
             b.pal_sz[1] if has_chroma else 0
         a.seg_pred[bx4:bx4 + bw4] = seg_pred
         a.skip_mode[bx4:bx4 + bw4] = 0

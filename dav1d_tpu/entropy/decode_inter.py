@@ -686,7 +686,7 @@ class InterParserMixin:
         a.intra[bx4:bx4 + bw4] = 0
         a.skip[bx4:bx4 + bw4] = b.skip
         a.pal_sz[bx4:bx4 + bw4] = 0
-        self.pal_sz_uv[0][bx4:bx4 + bw4] = 0
+        self.pal_sz_uv[0][bx4 & 31:min((bx4 & 31) + bw4, 32)] = 0
         a.tx_intra[bx4:bx4 + bw4] = b_dim[2]
         a.comp_type[bx4:bx4 + bw4] = b.comp_type
         a.filter[0][bx4:bx4 + bw4] = filt[0]
@@ -953,7 +953,7 @@ class InterParserMixin:
         a.tx_intra[bx4:bx4 + bw4] = b_dim[2]
         a.mode[bx4:bx4 + bw4] = lv.DC_PRED
         a.pal_sz[bx4:bx4 + bw4] = 0
-        self.pal_sz_uv[0][bx4:bx4 + bw4] = 0
+        self.pal_sz_uv[0][bx4 & 31:min((bx4 & 31) + bw4, 32)] = 0
         a.seg_pred[bx4:bx4 + bw4] = seg_pred
         a.skip_mode[bx4:bx4 + bw4] = 0
         a.intra[bx4:bx4 + bw4] = 0
