@@ -1,0 +1,71 @@
+"""Device backend plumbing for the Stage-B tensor program.
+
+The production decode path runs every pixel kernel as a jitted XLA/Pallas
+program (TPU when available); the vectorized-numpy *_ref modules remain
+the checkasm-style golden references (SURVEY.md §4 tier 1) and the
+fallback when the backend is forced off.
+
+Backend selection:
+  DAV1D_TPU_BACKEND=numpy  -> force the golden host path everywhere
+  (default)                -> device path
+  DAV1D_TPU_DEVICE=<name>  -> pin jax work to a platform (tests use cpu)
+"""
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+_JAX = None
+
+
+def device_enabled() -> bool:
+    return os.environ.get("DAV1D_TPU_BACKEND", "device") not in (
+        "numpy", "ref", "off")
+
+
+def jax_mod():
+    """Import jax lazily (keeps pure-host uses import-light) and enable
+    64-bit integers (SGR intermediates exceed int32; reference
+    looprestoration_tmpl.c uses 64-bit accumulation on the same path)."""
+    global _JAX
+    if _JAX is None:
+        import jax
+        jax.config.update("jax_enable_x64", True)
+        _JAX = jax
+    return _JAX
+
+
+@lru_cache(maxsize=None)
+def _pinned_device(name: str):
+    jax = jax_mod()
+    try:
+        return jax.devices(name)[0]
+    except RuntimeError:
+        return None
+
+
+def default_device():
+    """Honor DAV1D_TPU_DEVICE (tests pin to cpu; the axon TPU plugin
+    ignores JAX_PLATFORMS so an explicit pin is needed there)."""
+    name = os.environ.get("DAV1D_TPU_DEVICE")
+    if name:
+        return _pinned_device(name)
+    return None
+
+
+class device_scope:
+    """Context manager: run jax ops on the configured device."""
+
+    def __enter__(self):
+        dev = default_device()
+        self._ctx = None
+        if dev is not None:
+            jax = jax_mod()
+            self._ctx = jax.default_device(dev)
+            self._ctx.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        if self._ctx is not None:
+            self._ctx.__exit__(*exc)
+        return False
