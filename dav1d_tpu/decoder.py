@@ -291,9 +291,8 @@ class ObuStreamDecoder:
         if slot.frame_hdr is not None and \
                 slot.frame_hdr.film_grain_present and \
                 self.settings.apply_grain:
-            from .ops.fg_ref import apply_film_grain
-            out_pic = apply_film_grain(slot.pic, slot.frame_hdr,
-                                       self.state.seq_hdr)
+            out_pic = self._apply_grain(slot.pic, slot.frame_hdr,
+                                        self.state.seq_hdr)
         return (None, out_pic)
 
     def _refresh_slots_for_key_show_existing(self, slot):
@@ -528,28 +527,39 @@ class ObuStreamDecoder:
             for slot in refp:
                 if slot is not None and hasattr(slot.pic, "result"):
                     slot.pic = resolve(slot.pic)
+        from .ops.backend import device_enabled
         if key_or_intra and not fh.allow_intrabc:
             from .recon.intra_ref import reconstruct_intra_frame
             pic = reconstruct_intra_frame(plan)
+        elif device_enabled():
+            from .recon.inter_device import reconstruct_inter_frame_device
+            pic = reconstruct_inter_frame_device(plan, refp)
         else:
             from .recon.inter_ref import reconstruct_inter_frame
             pic = reconstruct_inter_frame(plan, refp)
         ilf = self.settings.inloop_filters
-        if ilf & 1:              # DAV1D_INLOOPFILTER_DEBLOCK
-            from .ops.lf_ref import apply_deblock
-            apply_deblock(pic, plan)
-        need_lr = (ilf & 4) and any(t != 0 for t in fh.restoration.type)
-        pre_cdef = [pl.astype("int32") for pl in pic.planes] \
-            if need_lr else None
-        if ilf & 2:              # DAV1D_INLOOPFILTER_CDEF
-            from .ops.cdef_ref import apply_cdef
-            apply_cdef(pic, plan)
-        if fh.width[0] != fh.width[1]:
-            from .ops.superres import apply_superres
-            pic, pre_cdef = apply_superres(pic, pre_cdef, plan)
-        if need_lr:               # DAV1D_INLOOPFILTER_RESTORATION
-            from .ops.restore_ref import apply_lr
-            apply_lr(pic, pre_cdef, plan)
+        if device_enabled():
+            # production path: whole-frame device filter chain
+            from .recon.filters import run_filter_chain_device
+            pic = run_filter_chain_device(pic, plan, ilf)
+        else:
+            # golden host path (parity oracle)
+            if ilf & 1:          # DAV1D_INLOOPFILTER_DEBLOCK
+                from .ops.lf_ref import apply_deblock
+                apply_deblock(pic, plan)
+            need_lr = (ilf & 4) and \
+                any(t != 0 for t in fh.restoration.type)
+            pre_cdef = [pl.astype("int32") for pl in pic.planes] \
+                if need_lr else None
+            if ilf & 2:          # DAV1D_INLOOPFILTER_CDEF
+                from .ops.cdef_ref import apply_cdef
+                apply_cdef(pic, plan)
+            if fh.width[0] != fh.width[1]:
+                from .ops.superres import apply_superres
+                pic, pre_cdef = apply_superres(pic, pre_cdef, plan)
+            if need_lr:          # DAV1D_INLOOPFILTER_RESTORATION
+                from .ops.restore_ref import apply_lr
+                apply_lr(pic, pre_cdef, plan)
         pic.seq_hdr = seq
         pic.frame_hdr = fh
         out_pic = pic
@@ -559,6 +569,14 @@ class ObuStreamDecoder:
         if out_pic is not None and fh.film_grain_present and \
                 self.settings.apply_grain:
             # grain is out-of-loop: output copy only, refs stay clean
-            from .ops.fg_ref import apply_film_grain
-            out_pic = apply_film_grain(pic, fh, seq)
+            out_pic = self._apply_grain(pic, fh, seq)
         return pic, out_pic
+
+    @staticmethod
+    def _apply_grain(pic, fh, seq):
+        from .ops.backend import device_enabled
+        if device_enabled():
+            from .ops.fg import apply_film_grain_device
+            return apply_film_grain_device(pic, fh, seq)
+        from .ops.fg_ref import apply_film_grain
+        return apply_film_grain(pic, fh, seq)

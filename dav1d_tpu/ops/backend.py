@@ -26,11 +26,21 @@ def device_enabled() -> bool:
 def jax_mod():
     """Import jax lazily (keeps pure-host uses import-light) and enable
     64-bit integers (SGR intermediates exceed int32; reference
-    looprestoration_tmpl.c uses 64-bit accumulation on the same path)."""
+    looprestoration_tmpl.c uses 64-bit accumulation on the same path).
+    A persistent compilation cache amortizes jit compiles across
+    processes (test runs, CLI invocations, bench)."""
     global _JAX
     if _JAX is None:
         import jax
         jax.config.update("jax_enable_x64", True)
+        cache = os.environ.get("DAV1D_TPU_JIT_CACHE",
+                               "/tmp/dav1d_tpu_jit_cache")
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.5)
+        except Exception:
+            pass
         _JAX = jax
     return _JAX
 

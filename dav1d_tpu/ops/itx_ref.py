@@ -175,10 +175,11 @@ def precompute_residuals(coefs, bitdepth: int) -> None:
     1-D kernels map zero rows to zero rows). Stores (h, w) pre-shift
     residuals in cb.res; dc-only and WHT blocks keep the scalar path.
 
-    DAV1D_TPU_BACKEND=jax routes every bucket through the jitted TPU
-    kernels (ops/itx.py) instead of the numpy host path."""
-    import os
-    if os.environ.get("DAV1D_TPU_BACKEND") == "jax":
+    The device backend (default) routes every bucket through the jitted
+    TPU kernels (ops/itx.py); DAV1D_TPU_BACKEND=numpy forces the numpy
+    host path."""
+    from .backend import device_enabled
+    if device_enabled():
         from .itx import compute_frame_residuals
         res = compute_frame_residuals(coefs, bitdepth)
         for cb in coefs:

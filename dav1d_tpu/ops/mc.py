@@ -1,0 +1,271 @@
+"""Motion compensation — batched device kernels.
+
+TPU-native formulation of the reference MC DSP (reference
+src/mc_tmpl.c:51-958): every MC call site of a frame becomes one row of
+a per-shape batch. Key simplifications that keep one static program per
+shape, bit-exact:
+
+- emu_edge is clamp-extension, so a clamped gather reproduces both the
+  emu and the direct-read paths of the reference mc() driver
+  (recon_tmpl.c:938-980) with no branching.
+- the no-subpel / h-only / v-only special cases equal the full
+  separable path run with an identity tap at phase 0 (the rounding
+  identity floor((floor((c+r1)/b)+k)/c) == floor((c+r1+k*b)/(b*c))
+  makes the split rounds exact), so phase selection is just a filter
+  table lookup with an identity row.
+
+Filter coefficients are resolved on the host into per-job (8,) rows
+(including the small-block 4-tap variants, mc_tmpl.c:116-133), so the
+kernels are pure gather + MAC pipelines. Compound combines (avg /
+weighted / wedge / segmentation w_mask) run in the same kernel as the
+two prep paths; warp runs per 8x8 tile with device-side filter-bank
+indexing (mc_tmpl.c:799-866).
+
+Bit-exact vs ops/mc_ref.py (the validated golden model) by tests.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from .backend import jax_mod
+from .mc_ref import (_subpel_filters, _warp_filter, obmc_masks,
+                     intermediate_bits, prep_bias)
+
+IDENTITY_TAP = np.array([0, 0, 0, 64, 0, 0, 0, 0], np.int32)
+
+_FBANKS = None
+
+
+def filter_banks():
+    """(2, 16, 16, 8): [small][filter_type][phase] -> 8 taps, with the
+    identity row at phase 0. filter_type = h_type | v_type<<2 is
+    resolved per axis by the caller (h: type&3 / v: type>>2)."""
+    global _FBANKS
+    if _FBANKS is None:
+        sub = _subpel_filters()
+        out = np.zeros((2, 4, 16, 8), np.int32)
+        for small in range(2):
+            for t in range(4):
+                row = (3 + (t & 1)) if small else t
+                out[small, t, 0] = IDENTITY_TAP
+                out[small, t, 1:] = sub[row][:15]
+        _FBANKS = out
+    return _FBANKS
+
+
+def resolve_filters(ftype, mx, my, w, h):
+    """Host-side per-job (8,) h/v taps (arrays in, arrays out)."""
+    fb = filter_banks()
+    fh = fb[(w <= 4).astype(np.int32) if isinstance(w, np.ndarray)
+            else int(w <= 4), ftype & 3, mx]
+    fv = fb[int(h <= 4), (ftype >> 2) & 3, my]
+    return fh, fv
+
+
+def _rnd(jnp, v, sh):
+    return (v + ((1 << sh) >> 1)) >> sh
+
+
+@lru_cache(maxsize=None)
+def _put8_fn(n, h, w, bd, put):
+    """Batched 8-tap put/prep. REF: (R, Hr, Wr) pixels; rows (n, h+7),
+    cols (n, w+7) pre-clamped gather ids; slot (n,); fh/fv (n, 8)."""
+    jax = jax_mod()
+    jnp = jax.numpy
+    ib = intermediate_bits(bd)
+    pb = prep_bias(bd)
+
+    def fn(REF, rows, cols, slot, fh, fv):
+        patch = REF[slot[:, None, None], rows[:, :, None],
+                    cols[:, None, :]].astype(jnp.int32)
+        mid = jnp.zeros((n, h + 7, w), jnp.int32)
+        for i in range(8):
+            mid = mid + fh[:, i, None, None] * patch[:, :, i:i + w]
+        mid = _rnd(jnp, mid, 6 - ib)
+        out = jnp.zeros((n, h, w), jnp.int32)
+        for i in range(8):
+            out = out + fv[:, i, None, None] * mid[:, i:i + h]
+        if put:
+            return jnp.clip(_rnd(jnp, out, 6 + ib), 0, (1 << bd) - 1)
+        return _rnd(jnp, out, 6) - pb
+
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def _bilin_fn(n, h, w, bd, put):
+    """Batched bilinear put/prep; amx/amy (n,) phases (0 = copy)."""
+    jax = jax_mod()
+    jnp = jax.numpy
+    ib = intermediate_bits(bd)
+    pb = prep_bias(bd)
+
+    def fn(REF, rows, cols, slot, amx, amy):
+        p = REF[slot[:, None, None], rows[:, :, None],
+                cols[:, None, :]].astype(jnp.int32)
+        mid = _rnd(jnp, 16 * p[:, :, :w] +
+                   amx[:, None, None] * (p[:, :, 1:w + 1] - p[:, :, :w]),
+                   4 - ib)
+        v = 16 * mid[:, :h] + amy[:, None, None] * (mid[:, 1:h + 1] -
+                                                    mid[:, :h])
+        if put:
+            return jnp.clip(_rnd(jnp, v, 4 + ib), 0, (1 << bd) - 1)
+        return _rnd(jnp, v, 4) - pb
+
+    return jax.jit(fn)
+
+
+COMP_AVG, COMP_WAVG, COMP_SEG, COMP_MASK = 2, 1, 3, 4
+
+
+@lru_cache(maxsize=None)
+def _compound_fn(n, h, w, bd, ss_hor, ss_ver):
+    """Two prep paths + combine. mode (n,): COMP_* enums; jw (n,);
+    sign (n,); msk (n, h, w) wedge/seg weights for MASK mode.
+    Returns (out, seg_sub) where seg_sub is the subsampled w_mask
+    output (meaningful for SEG jobs on luma)."""
+    jax = jax_mod()
+    jnp = jax.numpy
+    ib = intermediate_bits(bd)
+    pb = prep_bias(bd)
+    px_max = (1 << bd) - 1
+
+    def prep(REF, rows, cols, slot, fh, fv):
+        patch = REF[slot[:, None, None], rows[:, :, None],
+                    cols[:, None, :]].astype(jnp.int32)
+        mid = jnp.zeros((n, h + 7, w), jnp.int32)
+        for i in range(8):
+            mid = mid + fh[:, i, None, None] * patch[:, :, i:i + w]
+        mid = _rnd(jnp, mid, 6 - ib)
+        out = jnp.zeros((n, h, w), jnp.int32)
+        for i in range(8):
+            out = out + fv[:, i, None, None] * mid[:, i:i + h]
+        return _rnd(jnp, out, 6) - pb
+
+    def fn(REF, r0, c0, s0, fh0, fv0, r1, c1, s1, fh1, fv1,
+           mode, jw, sign, msk):
+        t0 = prep(REF, r0, c0, s0, fh0, fv0)
+        t1 = prep(REF, r1, c1, s1, fh1, fv1)
+        sgn = sign[:, None, None]
+        ts0 = jnp.where(sgn == 1, t1, t0)
+        ts1 = jnp.where(sgn == 1, t0, t1)
+        m3 = mode[:, None, None]
+        # avg (mc_tmpl.c:628-643)
+        avg = (t0 + t1 + ((1 << ib) + pb * 2)) >> (ib + 1)
+        # w_avg (645-661)
+        jw3 = jw[:, None, None]
+        wavg = (t0 * jw3 + t1 * (16 - jw3) +
+                ((8 << ib) + pb * 16)) >> (ib + 4)
+        # seg mask (w_mask_c, 724-768)
+        mask_sh = bd + ib - 4
+        mask_rnd = 1 << (mask_sh - 5)
+        tdiff = ts0 - ts1
+        m_seg = jnp.minimum(38 + ((jnp.abs(tdiff) + mask_rnd) >> mask_sh),
+                            64)
+        m_used = jnp.where(m3 == COMP_SEG, m_seg, msk)
+        masked = (tdiff * m_used + ts1 * 64 +
+                  ((32 << ib) + pb * 64)) >> (ib + 6)
+        out = jnp.where(m3 == COMP_AVG, avg,
+                        jnp.where(m3 == COMP_WAVG, wavg, masked))
+        out = jnp.clip(out, 0, px_max)
+        # subsampled seg mask (for the chroma combine)
+        if ss_hor:
+            mpair = m_seg[:, :, 0::2] + m_seg[:, :, 1::2]
+            if ss_ver:
+                seg_sub = (mpair[:, 0::2] + mpair[:, 1::2] +
+                           2 - sign[:, None, None]) >> 2
+            else:
+                seg_sub = (mpair + 1 - sign[:, None, None]) >> 1
+        else:
+            seg_sub = m_seg
+        return out, seg_sub
+
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def _warp_fn(n, bd, put):
+    """Batched 8x8 affine warp (mc_tmpl.c:799-866). patch gather ids
+    rows/cols (n, 15); mx/my/alpha/beta/gamma/delta (n,)."""
+    jax = jax_mod()
+    jnp = jax.numpy
+    ib = intermediate_bits(bd)
+    pb = prep_bias(bd)
+    WF = jnp.asarray(_warp_filter())
+
+    def fn(REF, rows, cols, slot, mx, my, alpha, beta, gamma, delta):
+        patch = REF[slot[:, None, None], rows[:, :, None],
+                    cols[:, None, :]].astype(jnp.int32)
+        yy = jnp.arange(15, dtype=jnp.int32)
+        xx = jnp.arange(8, dtype=jnp.int32)
+        idx = 64 + ((mx[:, None, None] + beta[:, None, None] * yy[:, None]
+                     + alpha[:, None, None] * xx[None, :] + 512) >> 10)
+        F = WF[idx]                      # (n, 15, 8, 8)
+        mid = jnp.zeros((n, 15, 8), jnp.int32)
+        for t in range(8):
+            mid = mid + F[:, :, :, t] * patch[:, :, t:t + 8]
+        mid = _rnd(jnp, mid, 7 - ib)
+        yy8 = jnp.arange(8, dtype=jnp.int32)
+        idxy = 64 + ((my[:, None, None] +
+                      delta[:, None, None] * yy8[:, None] +
+                      gamma[:, None, None] * xx[None, :] + 512) >> 10)
+        Fv = WF[idxy]                    # (n, 8, 8, 8)
+        out = jnp.zeros((n, 8, 8), jnp.int32)
+        for t in range(8):
+            out = out + Fv[:, :, :, t] * mid[:, t:t + 8, :]
+        if put:
+            return jnp.clip(_rnd(jnp, out, 7 + ib), 0, (1 << bd) - 1)
+        return _rnd(jnp, out, 7) - pb
+
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def _obmc_blend_fn(n, ww, hh, lap_h, bd, top):
+    """OBMC lap (8-tap put) + directional blend into the plane region
+    (mc_tmpl.c:696-722 blend_v/h over the reference obmc masks)."""
+    jax = jax_mod()
+    jnp = jax.numpy
+    ib = intermediate_bits(bd)
+    px_max = (1 << bd) - 1
+    if top:
+        hb = (hh * 3) >> 2
+        m = jnp.asarray(obmc_masks()[hh:hh + hb].reshape(1, hb, 1))
+    else:
+        wb = (ww * 3) >> 2
+        m = jnp.asarray(obmc_masks()[ww:ww + wb].reshape(1, 1, wb))
+
+    def fn(REF, rows, cols, slot, fh, fv, plane, drows, dcols):
+        patch = REF[slot[:, None, None], rows[:, :, None],
+                    cols[:, None, :]].astype(jnp.int32)
+        mid = jnp.zeros((n, lap_h + 7, ww), jnp.int32)
+        for i in range(8):
+            mid = mid + fh[:, i, None, None] * patch[:, :, i:i + ww]
+        mid = _rnd(jnp, mid, 6 - ib)
+        lap = jnp.zeros((n, lap_h, ww), jnp.int32)
+        for i in range(8):
+            lap = lap + fv[:, i, None, None] * mid[:, i:i + lap_h]
+        lap = jnp.clip(_rnd(jnp, lap, 6 + ib), 0, px_max)
+        if top:
+            lap = lap[:, :(hh * 3) >> 2]
+        else:
+            lap = lap[:, :, :(ww * 3) >> 2]
+        dst = plane[drows[:, :, None], dcols[:, None, :]]
+        return (dst * (64 - m) + lap * m + 32) >> 6
+
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def _residual_fn(n, h, w, bd):
+    """Gather dst region, add residual, clip (itx_tmpl.c add path)."""
+    jax = jax_mod()
+    jnp = jax.numpy
+
+    def fn(plane, rows, cols, res):
+        cur = plane[rows[:, :, None], cols[:, None, :]].astype(jnp.int32)
+        return jnp.clip(cur + res, 0, (1 << bd) - 1)
+
+    return jax.jit(fn)

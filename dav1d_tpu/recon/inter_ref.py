@@ -213,8 +213,10 @@ class InterReconstructor(IntraReconstructor):
                         src, sy, sx, abcd, mx, my, bd)
         return out
 
-    def _obmc(self, dst_view, b_dim, pl, w4, h4, row_start, col_start):
-        """reference recon_tmpl.c:1052-1113 obmc()."""
+    def _obmc(self, plane_idx, dst_py, dst_px, b_dim, pl, w4, h4,
+              row_start, col_start):
+        """reference recon_tmpl.c:1052-1113 obmc(); laps land at
+        (dst_py, dst_px) of plane plane_idx via the executor leaves."""
         f = self.f
         rf = self.rf
         bx, by = self.cur_bx, self.cur_by
@@ -237,13 +239,10 @@ class InterReconstructor(IntraReconstructor):
                           int(rf.r_mv[by - 1, bx + x + 1, 0, 1]))
                     f2d = int(lv.filter_2d[filt[1, by - 1, bx + x + 1]]
                               [filt[0, by - 1, bx + x + 1]])
-                    lap = self._mc(True, ow4, (oh4 * 3 + 3) >> 2, bx + x,
-                                   by, pl, mv, ar_ref - 1, f2d)
-                    hh = v_mul * oh4
-                    ww = h_mul * ow4
-                    sub = dst_view[:hh, x * h_mul:x * h_mul + ww]
-                    sub[:] = mc_ref.blend_h(
-                        sub.astype(np.int32), lap, ww, hh).astype(sub.dtype)
+                    self._obmc_lap_top(plane_idx, dst_py, dst_px,
+                                       x * h_mul, ow4, oh4, bx + x, by,
+                                       pl, mv, ar_ref - 1, f2d, h_mul,
+                                       v_mul)
                     i += 1
                 x += step4
         if bx > col_start:
@@ -259,13 +258,10 @@ class InterReconstructor(IntraReconstructor):
                           int(rf.r_mv[by + y + 1, bx - 1, 0, 1]))
                     f2d = int(lv.filter_2d[filt[1, by + y + 1, bx - 1]]
                               [filt[0, by + y + 1, bx - 1]])
-                    lap = self._mc(True, ow4, oh4, bx, by + y, pl, mv,
-                                   lr_ref - 1, f2d)
-                    hh = v_mul * oh4
-                    ww = h_mul * ow4
-                    sub = dst_view[y * v_mul:y * v_mul + hh, :ww]
-                    sub[:] = mc_ref.blend_v(
-                        sub.astype(np.int32), lap, ww, hh).astype(sub.dtype)
+                    self._obmc_lap_left(plane_idx, dst_py, dst_px,
+                                        y * v_mul, ow4, oh4, bx, by + y,
+                                        pl, mv, lr_ref - 1, f2d, h_mul,
+                                        v_mul)
                     i += 1
                 y += step4
         return None
@@ -296,6 +292,83 @@ class InterReconstructor(IntraReconstructor):
             pred = ipred_ref.PREDICTORS[m](self.edge, w_px, h_px,
                                            angle | sm_fl, bd)
         return pred
+
+    # -- executor leaves (overridden by the device batch collector) -----
+    def _put_mc(self, plane_idx, py, px, bw4, bh4, bx, by, pl, mv,
+                refidx, filter2d):
+        """pred = mc(); plane[py:, px:] = pred (golden eager leaf)."""
+        plane = self.pic.planes[plane_idx]
+        pred = self._mc(True, bw4, bh4, bx, by, pl, mv, refidx, filter2d)
+        ph, pw = pred.shape
+        plane[py:py + ph, px:px + pw] = pred.astype(plane.dtype)
+
+    def _put_warp(self, plane_idx, py, px, b_dim, pl, refidx, wmp):
+        plane = self.pic.planes[plane_idx]
+        pred = self._warp_affine(True, b_dim, pl, refidx, wmp)
+        ph, pw = pred.shape
+        plane[py:py + ph, px:px + pw] = pred.astype(plane.dtype)
+
+    def _obmc_lap_top(self, plane_idx, py, px, x_off, ow4, oh4, bx, by,
+                      pl, mv, refidx, f2d, h_mul, v_mul):
+        """Top-neighbour OBMC lap: mc + blend_h into the dst region."""
+        plane = self.pic.planes[plane_idx]
+        lap = self._mc(True, ow4, (oh4 * 3 + 3) >> 2, bx, by, pl, mv,
+                       refidx, f2d)
+        hh = v_mul * oh4
+        ww = h_mul * ow4
+        sub = plane[py:py + hh, px + x_off:px + x_off + ww]
+        sub[:] = mc_ref.blend_h(sub.astype(np.int32), lap, ww,
+                                hh).astype(sub.dtype)
+
+    def _obmc_lap_left(self, plane_idx, py, px, y_off, ow4, oh4, bx, by,
+                       pl, mv, refidx, f2d, h_mul, v_mul):
+        plane = self.pic.planes[plane_idx]
+        lap = self._mc(True, ow4, oh4, bx, by, pl, mv, refidx, f2d)
+        hh = v_mul * oh4
+        ww = h_mul * ow4
+        sub = plane[py + y_off:py + y_off + hh, px:px + ww]
+        sub[:] = mc_ref.blend_v(sub.astype(np.int32), lap, ww,
+                                hh).astype(sub.dtype)
+
+    def _exec_compound(self, plane_idx, py, px, descs, comp_type, jw,
+                       sign, msk, ss_hor, ss_ver):
+        """descs: two ('mc'|'warp', args) prep sources; comp_type
+        selects the combine; msk is the wedge/seg mask for MASK mode.
+        Returns the seg mask when comp_type == SEG (luma call)."""
+        bd = self.bitdepth
+        plane = self.pic.planes[plane_idx]
+        tmp = [None, None]
+        for i, (kind, args) in enumerate(descs):
+            if kind == "warp":
+                tmp[i] = self._warp_affine(False, *args)
+            else:
+                tmp[i] = self._mc(False, *args)
+        seg_mask = None
+        if comp_type == COMP_INTER_AVG:
+            dst = mc_ref.avg(tmp[0], tmp[1], bd)
+        elif comp_type == COMP_INTER_WEIGHTED_AVG:
+            dst = mc_ref.w_avg(tmp[0], tmp[1], jw, bd)
+        elif comp_type == COMP_INTER_SEG:
+            dst, seg_mask = mc_ref.w_mask(tmp[sign], tmp[1 - sign],
+                                          sign, ss_hor, ss_ver, bd)
+        else:   # WEDGE or chroma mask apply
+            dst = mc_ref.mask(tmp[sign], tmp[1 - sign], msk, bd)
+        ph, pw = dst.shape
+        plane[py:py + ph, px:px + pw] = dst.astype(plane.dtype)
+        return seg_mask
+
+    def _add_residuals(self, b):
+        plan = self.plan
+        bd = self.bitdepth
+        for cb in plan.coefs[b.coef_start:b.coef_end]:
+            if cb.eob < 0:
+                continue
+            t_dim = lv.TXFM_INFO[cb.tx]
+            plane = self.pic.planes[cb.plane]
+            ppx, ppy = cb.x4 * 4, cb.y4 * 4
+            itx_ref.add_residual(
+                plane[ppy:ppy + t_dim.h * 4, ppx:ppx + t_dim.w * 4],
+                cb, bd)
 
     # -- main block recon ----------------------------------------------
     def _recon_block(self, b, col_start, col_end, row_start, row_end):
@@ -353,17 +426,13 @@ class InterReconstructor(IntraReconstructor):
                   b.warpmv.type > WarpedMotionType.TRANSLATION))):
                 wmp = b.warpmv if b.motion_mode == MM_WARP \
                     else fh.gmv[b.ref[0]]
-                pred = self._warp_affine(True, b_dim, 0, b.ref[0], wmp)
-                y_plane[py:py + bh4 * 4, px:px + bw4 * 4] = \
-                    pred.astype(y_plane.dtype)
+                self._put_warp(0, py, px, b_dim, 0, b.ref[0], wmp)
             else:
-                pred = self._mc(True, bw4, bh4, b.bx, b.by, 0, b.mv[0],
-                                b.ref[0], filter2d)
-                y_plane[py:py + bh4 * 4, px:px + bw4 * 4] = \
-                    pred.astype(y_plane.dtype)
+                self._put_mc(0, py, px, bw4, bh4, b.bx, b.by, 0, b.mv[0],
+                             b.ref[0], filter2d)
                 if b.motion_mode == MM_OBMC:
-                    self._obmc(y_plane[py:py + bh4 * 4, px:px + bw4 * 4],
-                               b_dim, 0, w4, h4, row_start, col_start)
+                    self._obmc(0, py, px, b_dim, 0, w4, h4, row_start,
+                               col_start)
             if b.interintra_type:
                 ii = mc_ref.ii_mask(0, b.bs, b.interintra_type,
                                     b.interintra_mode, b.wedge_idx,
@@ -386,15 +455,7 @@ class InterReconstructor(IntraReconstructor):
 
         # residual adds from the recorded coef range
         if not b.skip:
-            for cb in plan.coefs[b.coef_start:b.coef_end]:
-                if cb.eob < 0:
-                    continue
-                t_dim = lv.TXFM_INFO[cb.tx]
-                plane = self.pic.planes[cb.plane]
-                ppx, ppy = cb.x4 * 4, cb.y4 * 4
-                itx_ref.add_residual(
-                    plane[ppy:ppy + t_dim.h * 4, ppx:ppx + t_dim.w * 4],
-                    cb, bd)
+            self._add_residuals(b)
 
     # -- chroma for single-ref blocks ----------------------------------
     def _chroma_single(self, b, b_dim, bw4, bh4, cbw4, cbh4, filter2d,
@@ -421,55 +482,40 @@ class InterReconstructor(IntraReconstructor):
             h_off = v_off = 0
             if bw4 == 1 and bh4 == ss_ver:
                 for pl in range(2):
-                    plane = self.pic.planes[1 + pl]
                     mv = (int(rf.r_mv[b.by - 1, b.bx - 1, 0, 0]),
                           int(rf.r_mv[b.by - 1, b.bx - 1, 0, 1]))
                     refidx = int(rf.r_ref[b.by - 1, b.bx - 1, 0]) - 1
-                    pred = self._mc(True, bw4, bh4, b.bx - 1, b.by - 1,
-                                    1 + pl, mv, refidx,
-                                    self.tl_4x4_filter)
-                    ph, pw = pred.shape
-                    plane[uv_py:uv_py + ph, uv_px:uv_px + pw] = \
-                        pred.astype(plane.dtype)
+                    self._put_mc(1 + pl, uv_py, uv_px, bw4, bh4,
+                                 b.bx - 1, b.by - 1, 1 + pl, mv, refidx,
+                                 self.tl_4x4_filter)
                 v_off = 2
                 h_off = 2
             if bw4 == 1:
                 left_f2d = int(lv.filter_2d[filt[1, b.by, b.bx - 1]]
                                [filt[0, b.by, b.bx - 1]])
                 for pl in range(2):
-                    plane = self.pic.planes[1 + pl]
                     mv = (int(rf.r_mv[b.by, b.bx - 1, 0, 0]),
                           int(rf.r_mv[b.by, b.bx - 1, 0, 1]))
                     refidx = int(rf.r_ref[b.by, b.bx - 1, 0]) - 1
-                    pred = self._mc(True, bw4, bh4, b.bx - 1, b.by,
-                                    1 + pl, mv, refidx, left_f2d)
-                    ph, pw = pred.shape
-                    plane[uv_py + v_off:uv_py + v_off + ph,
-                          uv_px:uv_px + pw] = pred.astype(plane.dtype)
+                    self._put_mc(1 + pl, uv_py + v_off, uv_px, bw4, bh4,
+                                 b.bx - 1, b.by, 1 + pl, mv, refidx,
+                                 left_f2d)
                 h_off = 2
             if bh4 == ss_ver:
                 top_f2d = int(lv.filter_2d[filt[1, b.by - 1, b.bx]]
                               [filt[0, b.by - 1, b.bx]])
                 for pl in range(2):
-                    plane = self.pic.planes[1 + pl]
                     mv = (int(rf.r_mv[b.by - 1, b.bx, 0, 0]),
                           int(rf.r_mv[b.by - 1, b.bx, 0, 1]))
                     refidx = int(rf.r_ref[b.by - 1, b.bx, 0]) - 1
-                    pred = self._mc(True, bw4, bh4, b.bx, b.by - 1,
-                                    1 + pl, mv, refidx, top_f2d)
-                    ph, pw = pred.shape
-                    plane[uv_py:uv_py + ph,
-                          uv_px + h_off:uv_px + h_off + pw] = \
-                        pred.astype(plane.dtype)
+                    self._put_mc(1 + pl, uv_py, uv_px + h_off, bw4, bh4,
+                                 b.bx, b.by - 1, 1 + pl, mv, refidx,
+                                 top_f2d)
                 v_off = 2
             for pl in range(2):
-                plane = self.pic.planes[1 + pl]
-                pred = self._mc(True, bw4, bh4, b.bx, b.by, 1 + pl,
-                                b.mv[0], b.ref[0], filter2d)
-                ph, pw = pred.shape
-                plane[uv_py + v_off:uv_py + v_off + ph,
-                      uv_px + h_off:uv_px + h_off + pw] = \
-                    pred.astype(plane.dtype)
+                self._put_mc(1 + pl, uv_py + v_off, uv_px + h_off, bw4,
+                             bh4, b.bx, b.by, 1 + pl, b.mv[0], b.ref[0],
+                             filter2d)
             return
 
         w4 = min(bw4, f.bw - b.bx)
@@ -481,26 +527,19 @@ class InterReconstructor(IntraReconstructor):
               b.warpmv.type > WarpedMotionType.TRANSLATION))):
             wmp = b.warpmv if b.motion_mode == MM_WARP else fh.gmv[b.ref[0]]
             for pl in range(2):
-                plane = self.pic.planes[1 + pl]
-                pred = self._warp_affine(True, b_dim, 1 + pl, b.ref[0], wmp)
-                plane[uv_py:uv_py + cbh4 * 4, uv_px:uv_px + cbw4 * 4] = \
-                    pred.astype(plane.dtype)
+                self._put_warp(1 + pl, uv_py, uv_px, b_dim, 1 + pl,
+                               b.ref[0], wmp)
         else:
             mbw4 = bw4 << int(bw4 == ss_hor)
             mbh4 = bh4 << int(bh4 == ss_ver)
             mbx = b.bx & ~ss_hor
             mby = b.by & ~ss_ver
             for pl in range(2):
-                plane = self.pic.planes[1 + pl]
-                pred = self._mc(True, mbw4, mbh4, mbx, mby, 1 + pl,
-                                b.mv[0], b.ref[0], filter2d)
-                ph, pw = pred.shape
-                plane[uv_py:uv_py + ph, uv_px:uv_px + pw] = \
-                    pred.astype(plane.dtype)
+                self._put_mc(1 + pl, uv_py, uv_px, mbw4, mbh4, mbx, mby,
+                             1 + pl, b.mv[0], b.ref[0], filter2d)
                 if b.motion_mode == MM_OBMC:
-                    self._obmc(plane[uv_py:uv_py + cbh4 * 4,
-                                     uv_px:uv_px + cbw4 * 4],
-                               b_dim, 1 + pl, w4, h4, row_start, col_start)
+                    self._obmc(1 + pl, uv_py, uv_px, b_dim, 1 + pl, w4,
+                               h4, row_start, col_start)
         if b.interintra_type:
             ii = mc_ref.ii_mask(chr_layout_idx, b.bs, b.interintra_type,
                                 b.interintra_mode, b.wedge_idx,
@@ -527,64 +566,50 @@ class InterReconstructor(IntraReconstructor):
         y_plane = self.pic.planes[0]
         px, py = b.bx * 4, b.by * 4
 
-        tmp = [None, None]
+        descs = []
         for i in range(2):
             if (b.inter_mode == lv.GLOBALMV_GLOBALMV and
                     f.gmv_warp_allowed[b.ref[i]]):
-                tmp[i] = self._warp_affine(False, b_dim, 0, b.ref[i],
-                                           fh.gmv[b.ref[i]])
+                descs.append(("warp", (b_dim, 0, b.ref[i],
+                                       fh.gmv[b.ref[i]])))
             else:
-                tmp[i] = self._mc(False, bw4, bh4, b.bx, b.by, 0,
-                                  b.mv[i], b.ref[i], filter2d)
-        seg_mask = None
+                descs.append(("mc", (bw4, bh4, b.bx, b.by, 0,
+                                     b.mv[i], b.ref[i], filter2d)))
+        jw = int(self.jnt_weights[b.ref[0]][b.ref[1]])
         msk = None
-        if b.comp_type == COMP_INTER_AVG:
-            dst = mc_ref.avg(tmp[0], tmp[1], bd)
-        elif b.comp_type == COMP_INTER_WEIGHTED_AVG:
-            jw = int(self.jnt_weights[b.ref[0]][b.ref[1]])
-            dst = mc_ref.w_avg(tmp[0], tmp[1], jw, bd)
-        elif b.comp_type == COMP_INTER_SEG:
-            dst, seg_mask = mc_ref.w_mask(tmp[b.mask_sign],
-                                          tmp[1 - b.mask_sign],
-                                          b.mask_sign, ss_hor, ss_ver, bd)
-            msk = seg_mask
-        else:  # COMP_INTER_WEDGE
+        if b.comp_type == COMP_INTER_WEDGE:
             msk = mc_ref.wedge_mask(0, b.bs, 0, b.wedge_idx, bw4 * 4,
                                     bh4 * 4)
-            dst = mc_ref.mask(tmp[b.mask_sign], tmp[1 - b.mask_sign],
-                              msk, bd)
-            if has_chroma:
-                msk = mc_ref.wedge_mask(chr_layout_idx, b.bs, b.mask_sign,
-                                        b.wedge_idx, cbw4 * 4, cbh4 * 4)
-        y_plane[py:py + bh4 * 4, px:px + bw4 * 4] = \
-            dst.astype(y_plane.dtype)
+        seg_mask = self._exec_compound(0, py, px, descs, b.comp_type,
+                                       jw, b.mask_sign, msk, ss_hor,
+                                       ss_ver)
+        if b.comp_type == COMP_INTER_SEG:
+            msk = seg_mask
+        elif b.comp_type == COMP_INTER_WEDGE and has_chroma:
+            msk = mc_ref.wedge_mask(chr_layout_idx, b.bs, b.mask_sign,
+                                    b.wedge_idx, cbw4 * 4, cbh4 * 4)
 
         if has_chroma:
             uv_px = (b.bx >> ss_hor) * 4
             uv_py = (b.by >> ss_ver) * 4
+            uv_comp = b.comp_type if b.comp_type in (
+                COMP_INTER_AVG, COMP_INTER_WEIGHTED_AVG) \
+                else COMP_INTER_WEDGE
             for pl in range(2):
+                cdescs = []
                 for i in range(2):
                     if (b.inter_mode == lv.GLOBALMV_GLOBALMV and
                             min(cbw4, cbh4) > 1 and
                             f.gmv_warp_allowed[b.ref[i]]):
-                        tmp[i] = self._warp_affine(False, b_dim, 1 + pl,
-                                                   b.ref[i],
-                                                   fh.gmv[b.ref[i]])
+                        cdescs.append(("warp", (b_dim, 1 + pl, b.ref[i],
+                                                fh.gmv[b.ref[i]])))
                     else:
-                        tmp[i] = self._mc(False, bw4, bh4, b.bx, b.by,
-                                          1 + pl, b.mv[i], b.ref[i],
-                                          filter2d)
-                plane = self.pic.planes[1 + pl]
-                if b.comp_type == COMP_INTER_AVG:
-                    d = mc_ref.avg(tmp[0], tmp[1], bd)
-                elif b.comp_type == COMP_INTER_WEIGHTED_AVG:
-                    jw = int(self.jnt_weights[b.ref[0]][b.ref[1]])
-                    d = mc_ref.w_avg(tmp[0], tmp[1], jw, bd)
-                else:
-                    d = mc_ref.mask(tmp[b.mask_sign],
-                                    tmp[1 - b.mask_sign], msk, bd)
-                plane[uv_py:uv_py + cbh4 * 4, uv_px:uv_px + cbw4 * 4] = \
-                    d.astype(plane.dtype)
+                        cdescs.append(("mc", (bw4, bh4, b.bx, b.by,
+                                              1 + pl, b.mv[i], b.ref[i],
+                                              filter2d)))
+                self._exec_compound(1 + pl, uv_py, uv_px, cdescs,
+                                    uv_comp, jw, b.mask_sign, msk,
+                                    ss_hor, ss_ver)
 
 
 def reconstruct_inter_frame(plan, refp):

@@ -4,6 +4,8 @@ device configs is the multi-chip test strategy)."""
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# the axon TPU plugin ignores JAX_PLATFORMS; pin device kernels to host
+os.environ.setdefault("DAV1D_TPU_DEVICE", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
