@@ -33,8 +33,9 @@ def jax_mod():
     if _JAX is None:
         import jax
         jax.config.update("jax_enable_x64", True)
+        plat = os.environ.get("DAV1D_TPU_DEVICE", "default")
         cache = os.environ.get("DAV1D_TPU_JIT_CACHE",
-                               "/tmp/dav1d_tpu_jit_cache")
+                               f"/tmp/dav1d_tpu_jit_cache_{plat}")
         try:
             jax.config.update("jax_compilation_cache_dir", cache)
             jax.config.update("jax_persistent_cache_min_compile_time_secs",

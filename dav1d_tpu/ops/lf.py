@@ -28,6 +28,16 @@ from .lf_ref import build_lf_masks, calc_eih
 PAD = 8
 
 
+def _shift_x(jnp, a, s):
+    """Shift (H, wn) edge-indexed array by s edges along axis 1 so that
+    output edge-column x' reads edge x' - s (zero fill)."""
+    if s == 0:
+        return a
+    if s > 0:
+        return jnp.pad(a, ((0, 0), (s, 0)))[:, :a.shape[1]]
+    return jnp.pad(a, ((0, 0), (0, -s)))[:, -s:]
+
+
 def _edge_params(cls_grid, lvl, lvl_prev, lut_e, lut_i):
     """Resolve per-edge (cls, E, I, H) maps. L falls back to the
     neighbour side's level when the near side is 0 (reference
@@ -164,10 +174,27 @@ def _plane_fn(n4h, n4w, bd, luma):
             for o, v in v6.items():
                 vals[o] = jnp.where(m6, v, vals[o])
 
-        for o in sorted(vals):
-            P = P.at[:, PAD + o:PAD + o + 4 * wn:4].set(
-                jnp.where(masks[o], vals[o], col(o)))
-        return P
+        # write-back without scatters: decompose output columns by
+        # phase (c mod 4). Column 4x+o belongs to phase p = o & 3 with
+        # edge shift s = (o - p) / 4; since edge writes never overlap,
+        # each phase is a short select chain, and the plane rebuilds
+        # with one reshape (XLA-friendly; strided scatters compile
+        # poorly on TPU).
+        body = P[:, PAD:PAD + 4 * wn]
+        P4 = body.reshape(-1, wn, 4)
+        phases = []
+        for p in range(4):
+            cur = P4[:, :, p]
+            for o in sorted(vals):
+                if (o & 3) != p:
+                    continue
+                s = (o - p) >> 2
+                v = _shift_x(jnp, vals[o], s)
+                mk = _shift_x(jnp, masks[o], s)
+                cur = jnp.where(mk, v, cur)
+            phases.append(cur)
+        body = jnp.stack(phases, axis=2).reshape(-1, wn * 4)
+        return P.at[:, PAD:PAD + 4 * wn].set(body)
 
     def fn(plane, vmaps, hmaps):
         Hpx, Wpx = plane.shape

@@ -289,6 +289,10 @@ class DeviceInterReconstructor(InterReconstructor):
             stacks[plane_idx] = (jnp.asarray(np.stack(arrs)), slot_of)
         return stacks
 
+    @staticmethod
+    def _padn(n):
+        return 1 << max(2, (n - 1).bit_length())
+
     def _execute(self):
         if not (self.put8 or self.bilin or self.warp or self.comp or
                 self.obmc_jobs or self.res_jobs):
@@ -296,6 +300,7 @@ class DeviceInterReconstructor(InterReconstructor):
         jax = jax_mod()
         jnp = jax.numpy
         bd = self.bitdepth
+        OOB = 1 << 20      # scatter row sentinel for batch padding
         with device_scope():
             stacks = self._build_refstacks(jnp)
             planes = [jnp.asarray(p) for p in self.pic.planes]
@@ -303,19 +308,28 @@ class DeviceInterReconstructor(InterReconstructor):
             def scatter(pi, rows, cols, vals):
                 planes[pi] = planes[pi].at[
                     rows[:, :, None], cols[:, None, :]].set(
-                    vals.astype(planes[pi].dtype))
+                    vals.astype(planes[pi].dtype), mode="drop")
 
-            def put_tables(key, jobs, win_h, win_w, off):
+            def col(jobs, idx, np2, fill=0):
+                n = len(jobs)
+                a = np.full(np2, fill, np.int32)
+                a[:n] = np.fromiter((j[idx] for j in jobs), np.int32, n)
+                return a
+
+            def put_tables(key, jobs, np2, win_h, win_w, off):
+                """Gather tables, batch-padded to np2 (padding jobs
+                write to the OOB sentinel row and are dropped)."""
                 pl_type = int(bool(key[0]))
                 rh, rw = self._ref_bounds(pl_type)
                 REF, slot_of = stacks[key[0]]
                 n = len(jobs)
-                py = np.fromiter((j[0] for j in jobs), np.int32, n)
-                px = np.fromiter((j[1] for j in jobs), np.int32, n)
-                r = np.fromiter((slot_of[j[2]] for j in jobs),
-                                np.int32, n)
-                dy = np.fromiter((j[3] for j in jobs), np.int32, n)
-                dx = np.fromiter((j[4] for j in jobs), np.int32, n)
+                py = col(jobs, 0, np2, OOB)
+                px = col(jobs, 1, np2)
+                r = np.zeros(np2, np.int32)
+                r[:n] = np.fromiter((slot_of[j[2]] for j in jobs),
+                                    np.int32, n)
+                dy = col(jobs, 3, np2)
+                dx = col(jobs, 4, np2)
                 rows = np.clip(dy[:, None] - off +
                                np.arange(win_h, dtype=np.int32), 0,
                                rh - 1)
@@ -326,32 +340,32 @@ class DeviceInterReconstructor(InterReconstructor):
 
             fb = mcdev.filter_banks()
 
-            def taps(jobs, w, h, mi=5, fi=7):
-                n = len(jobs)
-                amx = np.fromiter((j[mi] for j in jobs), np.int32, n)
-                amy = np.fromiter((j[mi + 1] for j in jobs), np.int32, n)
-                ft = np.fromiter((j[fi] for j in jobs), np.int32, n)
+            def taps(jobs, np2, w, h, mi=5, fi=7):
+                amx = col(jobs, mi, np2)
+                amy = col(jobs, mi + 1, np2)
+                ft = col(jobs, fi, np2)
                 fh = fb[int(w <= 4), ft & 3, amx]
                 fv = fb[int(h <= 4), (ft >> 2) & 3, amy]
                 return fh, fv, amx, amy
 
             # ---- pass A: single-ref puts --------------------------------
             for (pi, h, w), jobs in self.put8.items():
+                np2 = self._padn(len(jobs))
                 REF, py, px, r, rows, cols = put_tables(
-                    (pi, h, w), jobs, h + 7, w + 7, 3)
-                fh, fv, _, _ = taps(jobs, w, h)
-                fn = mcdev._put8_fn(len(jobs), h, w, bd, True)
+                    (pi, h, w), jobs, np2, h + 7, w + 7, 3)
+                fh, fv, _, _ = taps(jobs, np2, w, h)
+                fn = mcdev._put8_fn(np2, h, w, bd, True)
                 out = fn(REF, rows, cols, r, fh, fv)
                 rr = py[:, None] + np.arange(h, dtype=np.int32)
                 cc = px[:, None] + np.arange(w, dtype=np.int32)
                 scatter(pi, rr, cc, out)
             for (pi, h, w), jobs in self.bilin.items():
+                np2 = self._padn(len(jobs))
                 REF, py, px, r, rows, cols = put_tables(
-                    (pi, h, w), jobs, h + 1, w + 1, 0)
-                n = len(jobs)
-                amx = np.fromiter((j[5] for j in jobs), np.int32, n)
-                amy = np.fromiter((j[6] for j in jobs), np.int32, n)
-                fn = mcdev._bilin_fn(n, h, w, bd, True)
+                    (pi, h, w), jobs, np2, h + 1, w + 1, 0)
+                amx = col(jobs, 5, np2)
+                amy = col(jobs, 6, np2)
+                fn = mcdev._bilin_fn(np2, h, w, bd, True)
                 out = fn(REF, rows, cols, r, amx, amy)
                 rr = py[:, None] + np.arange(h, dtype=np.int32)
                 cc = px[:, None] + np.arange(w, dtype=np.int32)
@@ -360,24 +374,26 @@ class DeviceInterReconstructor(InterReconstructor):
                 pl_type = int(bool(pi))
                 rh, rw = self._ref_bounds(pl_type)
                 REF, slot_of = stacks[pi]
+                np2 = self._padn(len(jobs))
                 n = len(jobs)
-                py = np.fromiter((j[0] for j in jobs), np.int32, n)
-                px = np.fromiter((j[1] for j in jobs), np.int32, n)
-                r = np.fromiter((slot_of[j[2]] for j in jobs),
-                                np.int32, n)
-                dy = np.fromiter((j[3] for j in jobs), np.int32, n)
-                dx = np.fromiter((j[4] for j in jobs), np.int32, n)
+                py = col(jobs, 0, np2, OOB)
+                px = col(jobs, 1, np2)
+                r = np.zeros(np2, np.int32)
+                r[:n] = np.fromiter((slot_of[j[2]] for j in jobs),
+                                    np.int32, n)
+                dy = col(jobs, 3, np2)
+                dx = col(jobs, 4, np2)
                 rows = np.clip(dy[:, None] - 3 +
                                np.arange(15, dtype=np.int32), 0, rh - 1)
                 cols = np.clip(dx[:, None] - 3 +
                                np.arange(15, dtype=np.int32), 0, rw - 1)
-                mx = np.fromiter((j[5] for j in jobs), np.int32, n)
-                my = np.fromiter((j[6] for j in jobs), np.int32, n)
-                al = np.fromiter((j[7] for j in jobs), np.int32, n)
-                be = np.fromiter((j[8] for j in jobs), np.int32, n)
-                ga = np.fromiter((j[9] for j in jobs), np.int32, n)
-                de = np.fromiter((j[10] for j in jobs), np.int32, n)
-                fn = mcdev._warp_fn(n, bd, put)
+                mx = col(jobs, 5, np2)
+                my = col(jobs, 6, np2)
+                al = col(jobs, 7, np2)
+                be = col(jobs, 8, np2)
+                ga = col(jobs, 9, np2)
+                de = col(jobs, 10, np2)
+                fn = mcdev._warp_fn(np2, bd, put)
                 out = fn(REF, rows, cols, r, mx, my, al, be, ga, de)
                 rr = py[:, None] + np.arange(8, dtype=np.int32)
                 cc = px[:, None] + np.arange(8, dtype=np.int32)
@@ -398,30 +414,34 @@ class DeviceInterReconstructor(InterReconstructor):
                     if key[0] != top:
                         continue
                     _, pi, ww, hh, lap_h = key
+                    np2 = self._padn(len(jobs))
                     REF, py, px, r, rows, cols = put_tables(
-                        (pi, lap_h, ww), jobs, lap_h + 7, ww + 7, 3)
-                    fh, fv, _, _ = taps(jobs, ww, lap_h)
+                        (pi, lap_h, ww), jobs, np2, lap_h + 7, ww + 7, 3)
+                    fh, fv, _, _ = taps(jobs, np2, ww, lap_h)
                     if top:
                         hb, wbl = (hh * 3) >> 2, ww
                     else:
                         hb, wbl = hh, (ww * 3) >> 2
                     drows = py[:, None] + np.arange(hb, dtype=np.int32)
                     dcols = px[:, None] + np.arange(wbl, dtype=np.int32)
-                    fn = mcdev._obmc_blend_fn(len(jobs), ww, hh, lap_h,
+                    fn = mcdev._obmc_blend_fn(np2, ww, hh, lap_h,
                                               bd, top)
                     out = fn(REF, rows, cols, r, fh, fv,
-                             planes[pi].astype(jnp.int32), drows, dcols)
+                             planes[pi].astype(jnp.int32),
+                             np.minimum(drows, OOB - 1),
+                             dcols)
                     scatter(pi, drows, dcols, out)
 
             # ---- pass D: residuals --------------------------------------
             for (pi, h, w), jobs in self.res_jobs.items():
-                n = len(jobs)
-                py = np.fromiter((j[0] for j in jobs), np.int32, n)
-                px = np.fromiter((j[1] for j in jobs), np.int32, n)
-                res = np.stack([j[2] for j in jobs]).astype(np.int32)
+                np2 = self._padn(len(jobs))
+                py = col(jobs, 0, np2, OOB)
+                px = col(jobs, 1, np2)
+                res = np.zeros((np2, h, w), np.int32)
+                res[:len(jobs)] = np.stack([j[2] for j in jobs])
                 rr = py[:, None] + np.arange(h, dtype=np.int32)
                 cc = px[:, None] + np.arange(w, dtype=np.int32)
-                fn = mcdev._residual_fn(n, h, w, bd)
+                fn = mcdev._residual_fn(np2, h, w, bd)
                 out = fn(planes[pi].astype(jnp.int32), rr, cc, res)
                 scatter(pi, rr, cc, out)
 
@@ -437,21 +457,28 @@ class DeviceInterReconstructor(InterReconstructor):
         REF, slot_of = stacks[pi]
         fbk = mcdev.filter_banks()
         n = len(jobs)
-        py = np.fromiter((j[0] for j in jobs), np.int32, n)
-        px = np.fromiter((j[1] for j in jobs), np.int32, n)
+        np2 = self._padn(n)
+        OOB = 1 << 20
+
+        def colv(vals, fill=0):
+            a = np.full(np2, fill, np.int32)
+            a[:n] = np.fromiter(vals, np.int32, n)
+            return a
+
+        py = colv((j[0] for j in jobs), OOB)
+        px = colv((j[1] for j in jobs))
         srcs_t = [[], []]
         for j in jobs:
             for i in range(2):
                 srcs_t[i].append(j[2][i])
         parts = []
         for i in range(2):
-            dy = np.fromiter((s[2] for s in srcs_t[i]), np.int32, n)
-            dx = np.fromiter((s[3] for s in srcs_t[i]), np.int32, n)
-            amx = np.fromiter((s[4] for s in srcs_t[i]), np.int32, n)
-            amy = np.fromiter((s[5] for s in srcs_t[i]), np.int32, n)
-            ft = np.fromiter((s[6] for s in srcs_t[i]), np.int32, n)
-            r = np.fromiter((slot_of[s[7]] for s in srcs_t[i]),
-                            np.int32, n)
+            dy = colv(s[2] for s in srcs_t[i])
+            dx = colv(s[3] for s in srcs_t[i])
+            amx = colv(s[4] for s in srcs_t[i])
+            amy = colv(s[5] for s in srcs_t[i])
+            ft = colv(s[6] for s in srcs_t[i])
+            r = colv(slot_of[s[7]] for s in srcs_t[i])
             rows = np.clip(dy[:, None] - 3 + np.arange(h + 7,
                                                        dtype=np.int32),
                            0, rh - 1)
@@ -461,10 +488,10 @@ class DeviceInterReconstructor(InterReconstructor):
             fh = fbk[int(w <= 4), ft & 3, amx]
             fv = fbk[int(h <= 4), (ft >> 2) & 3, amy]
             parts.extend([rows, cols, r, fh, fv])
-        mode = np.fromiter((j[3] for j in jobs), np.int32, n)
-        jw = np.fromiter((j[4] for j in jobs), np.int32, n)
-        sign = np.fromiter((j[5] for j in jobs), np.int32, n)
-        msk = np.zeros((n, h, w), np.int32)
+        mode = colv(j[3] for j in jobs)
+        jw = colv(j[4] for j in jobs)
+        sign = colv(j[5] for j in jobs)
+        msk = np.zeros((np2, h, w), np.int32)
         for i, j in enumerate(jobs):
             m = j[6]
             if isinstance(m, tuple) and m and m[0] == "seg":
@@ -474,7 +501,7 @@ class DeviceInterReconstructor(InterReconstructor):
                 msk[i] = m
         ss_hor = f.ss_hor if pi == 0 else 0
         ss_ver = f.ss_ver if pi == 0 else 0
-        fn = mcdev._compound_fn(n, h, w, bd, ss_hor, ss_ver)
+        fn = mcdev._compound_fn(np2, h, w, bd, ss_hor, ss_ver)
         out, seg_sub = fn(REF, *parts, mode, jw, sign, msk)
         if pi == 0 and any(j[3] == COMP_INTER_SEG for j in jobs):
             seg_np = np.asarray(seg_sub)
