@@ -531,10 +531,12 @@ class ObuStreamDecoder:
         if key_or_intra and not fh.allow_intrabc:
             from .recon.intra_ref import reconstruct_intra_frame
             pic = reconstruct_intra_frame(plan)
-        elif device_enabled():
+        elif not key_or_intra and device_enabled():
             from .recon.inter_device import reconstruct_inter_frame_device
             pic = reconstruct_inter_frame_device(plan, refp)
         else:
+            # intrabc frames copy from the in-progress picture — an
+            # inherently sequential walk (reference recon_tmpl.c:1583)
             from .recon.inter_ref import reconstruct_inter_frame
             pic = reconstruct_inter_frame(plan, refp)
         ilf = self.settings.inloop_filters
