@@ -273,6 +273,13 @@ class TileParser(InterParserMixin):
     # -- top-level ------------------------------------------------------
     def parse_tile(self) -> None:
         f = self.f
+        if self.coef_native is not None:
+            # full native Stage-A walk (native/tileparse.cpp): one FFI
+            # call per tile; falls through to the Python golden path
+            # when unavailable (trace mode, generator coders)
+            from . import native_tile
+            if native_tile.parse_tile_native(self):
+                return
         root_bl = lv.BL_128X128 if f.sb128 else lv.BL_64X64
         root_node = INTRA_EDGE_TREE[0 if f.sb128 else 1]
         # per-tile LR prediction refs (reference decode.c:2483-2503)

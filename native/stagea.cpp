@@ -10,165 +10,10 @@
 
 #include <cstdint>
 #include <cstring>
-
-#define EC_PROB_SHIFT 6
-#define EC_MIN_PROB 4
-#define EC_WIN_SIZE 64
+#include "msac.h"
+#include "stagea.h"
 
 extern "C" {
-
-struct Msac {
-    const uint8_t *buf;
-    int64_t pos, end;
-    uint64_t dif;
-    uint32_t rng;
-    int32_t cnt;
-    int32_t allow_update;
-};
-
-// ---------------------------------------------------------------------------
-// msac primitives (reference src/msac.c:41-213)
-// ---------------------------------------------------------------------------
-
-static void msac_refill(Msac *s) {
-    int c = EC_WIN_SIZE - s->cnt - 24;
-    uint64_t dif = s->dif;
-    int64_t pos = s->pos;
-    for (;;) {
-        if (pos >= s->end) {
-            // past end: value bits read as zero (complement domain ones)
-            dif |= (c + 8 <= 64) ? ((c + 8 == 64) ? ~0ULL
-                                                  : ((1ULL << (c + 8)) - 1))
-                                 : ~0ULL;
-            break;
-        }
-        dif |= (uint64_t)(s->buf[pos] ^ 0xFF) << c;
-        pos++;
-        c -= 8;
-        if (c < 0) break;
-    }
-    s->dif = dif;
-    s->cnt = EC_WIN_SIZE - c - 24;
-    s->pos = pos;
-}
-
-static inline int ulog2_16(uint32_t v) {
-    int n = 0;
-    while (v >> (n + 1)) n++;
-    return n;
-}
-
-static void msac_norm(Msac *s, uint64_t dif, uint32_t rng) {
-    const int d = 15 - ulog2_16(rng);
-    const int cnt = s->cnt;
-    s->dif = dif << d;
-    s->rng = rng << d;
-    s->cnt = cnt - d;
-    if (cnt >= 0 && cnt < d) msac_refill(s);
-}
-
-static int msac_bool_equi(Msac *s) {
-    const uint32_t r = s->rng;
-    uint64_t dif = s->dif;
-    uint32_t v = ((r >> 8) << 7) + EC_MIN_PROB;
-    const uint64_t vw = (uint64_t)v << (EC_WIN_SIZE - 16);
-    int ret;
-    if (dif >= vw) {
-        dif -= vw;
-        v = r - v;
-        ret = 0;
-    } else {
-        ret = 1;
-    }
-    msac_norm(s, dif, v);
-    return ret;
-}
-
-static int msac_bool(Msac *s, uint32_t f) {
-    const uint32_t r = s->rng;
-    uint64_t dif = s->dif;
-    uint32_t v = (((r >> 8) * (f >> EC_PROB_SHIFT)) >> (7 - EC_PROB_SHIFT)) +
-                 EC_MIN_PROB;
-    const uint64_t vw = (uint64_t)v << (EC_WIN_SIZE - 16);
-    int ret;
-    if (dif >= vw) {
-        dif -= vw;
-        v = r - v;
-        ret = 0;
-    } else {
-        ret = 1;
-    }
-    msac_norm(s, dif, v);
-    return ret;
-}
-
-static int msac_bool_adapt(Msac *s, uint16_t *cdf) {
-    const int bit = msac_bool(s, cdf[0]);
-    if (s->allow_update) {
-        const int count = cdf[1];
-        const int rate = 4 + (count >> 4);
-        if (bit)
-            cdf[0] += (32768 - cdf[0]) >> rate;
-        else
-            cdf[0] -= cdf[0] >> rate;
-        cdf[1] = count + (count < 32);
-    }
-    return bit;
-}
-
-static int msac_symbol_adapt(Msac *s, uint16_t *cdf, int n_symbols) {
-    const uint64_t c = s->dif >> (EC_WIN_SIZE - 16);
-    const uint32_t r = s->rng >> 8;
-    uint32_t u, v = s->rng;
-    int val = -1;
-    do {
-        val++;
-        u = v;
-        v = (r * ((uint32_t)cdf[val] >> EC_PROB_SHIFT)) >>
-            (7 - EC_PROB_SHIFT);
-        v += EC_MIN_PROB * (n_symbols - val);
-    } while (c < v);
-    msac_norm(s, s->dif - ((uint64_t)v << (EC_WIN_SIZE - 16)), u - v);
-    if (s->allow_update) {
-        const int count = cdf[n_symbols];
-        const int rate = 4 + (count >> 4) + (n_symbols > 2);
-        for (int i = 0; i < val; i++)
-            cdf[i] += (32768 - cdf[i]) >> rate;
-        for (int i = val; i < n_symbols; i++)
-            cdf[i] -= cdf[i] >> rate;
-        cdf[n_symbols] = count + (count < 32);
-    }
-    return val;
-}
-
-static int msac_bools(Msac *s, int n) {
-    int v = 0;
-    while (n--) v = (v << 1) | msac_bool_equi(s);
-    return v;
-}
-
-static int msac_hi_tok(Msac *s, uint16_t *cdf) {
-    int tok_br = msac_symbol_adapt(s, cdf, 3);
-    int tok = 3 + tok_br;
-    if (tok_br == 3) {
-        tok_br = msac_symbol_adapt(s, cdf, 3);
-        tok = 6 + tok_br;
-        if (tok_br == 3) {
-            tok_br = msac_symbol_adapt(s, cdf, 3);
-            tok = 9 + tok_br;
-            if (tok_br == 3) tok = 12 + msac_symbol_adapt(s, cdf, 3);
-        }
-    }
-    return tok;
-}
-
-static int read_golomb(Msac *s) {
-    int len = 0;
-    int64_t val = 1;
-    while (!msac_bool_equi(s) && len < 32) len++;
-    while (len--) val = (val << 1) + msac_bool_equi(s);
-    return (int)(val - 1);
-}
 
 // ---------------------------------------------------------------------------
 // coefficient decoding context
@@ -178,40 +23,6 @@ enum { TX_CLASS_2D = 0, TX_CLASS_H = 1, TX_CLASS_V = 2 };
 enum { TX_4X4 = 0, TX_16X16 = 2, TX_32X32 = 3, TX_64X64 = 4, RTX_4X8 = 5 };
 enum { DCT_DCT = 0, IDTX = 9, WHT_WHT = 16, FILTER_PRED = 13 };
 
-struct CoefCtx {
-    Msac msac;
-    // CDFs (uint16, C-contiguous; shapes from dav1d_tpu/entropy/cdf.py)
-    uint16_t *skip;          // (5,13,2)
-    uint16_t *eob_bin[7];    // 16/32/64/128:(2,2,S) 256:(2,2,16) 512/1024:(2,16)
-    int32_t eob_bin_stride[7];  // last-dim element count
-    uint16_t *eob_hi_bit;    // (5,2,9,2)
-    uint16_t *eob_base_tok;  // (5,2,4,4)
-    uint16_t *base_tok;      // (5,2,41,4)
-    uint16_t *dc_sign;       // (2,3,2)
-    uint16_t *br_tok;        // (4,2,21,4)
-    uint16_t *txtp_intra1;   // (2,13,8)
-    uint16_t *txtp_intra2;   // (3,13,8)
-    uint16_t *txtp_inter1;   // (2,16)
-    uint16_t *txtp_inter2;   // (16,)
-    uint16_t *txtp_inter3;   // (4,2)
-    // tables
-    const uint8_t *txfm_dim;           // (19,8): w,h,lw,lh,min,max,sub,ctx
-    const uint16_t *scans[19];
-    const uint8_t *lo_ctx_offsets;     // (3,5,5)
-    const int32_t *tx_types_per_set;   // (40,)
-    const uint8_t *skip_ctx_tbl;       // (5,5)
-    const uint8_t *txtp_from_uvmode;   // (14,)
-    const uint8_t *filter_mode_to_y_mode;  // (5,)
-    const int32_t *tx_type_class;      // (17,)
-    const int32_t *block_dimensions;   // (22,4)
-    // frame params
-    const int32_t *dq;       // (8,3,2)
-    const uint8_t *qm[19 * 3];  // per (tx, plane) flattened table or null
-    const uint8_t *seg_lossless;  // (8,)
-    const int32_t *seg_qidx;      // (8,)
-    int32_t ss_hor, ss_ver, bitdepth, reduced_txtp_set;
-    uint8_t *levels_buf;     // 36*36 scratch
-};
 
 static int get_skip_ctx(const CoefCtx *c, const uint8_t *a, const uint8_t *l,
                         int lw, int lh, int bs, int chroma) {
