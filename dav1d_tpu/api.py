@@ -51,7 +51,9 @@ class Settings:
     output_invisible_frames: bool = False
     inloop_filters: int = INLOOPFILTER_ALL
     decode_frame_type: int = DECODEFRAMETYPE_ALL
-    logger: object = None      # callable(str) -> None; None = stderr
+    logger: object = None      # callable(str); None = stderr; False = off
+    allocator: object = None   # Dav1dPicAllocator equivalent — see
+                               # recon/picture.py for the contract
 
 
 @dataclass
@@ -95,18 +97,45 @@ class Decoder:
         # keep the Stage-B worker fed: parse ahead up to the frame
         # delay window before blocking on the oldest frame's promise
         depth = max(2, self.settings.max_frame_delay) \
-            if self.settings.n_threads > 1 else 1
+            if self._dec.n_threads > 1 else 1
         while True:
             while self._pending and len(self._out) < depth:
                 chunk, props = self._pending.popleft()
-                for res in self._dec.decode_temporal_unit(chunk):
+                try:
+                    results = self._dec.decode_temporal_unit(chunk)
+                except Exception as e:
+                    # error containment (reference thread_task.c:459-469
+                    # + lib.c:716-725): poison this temporal unit, keep
+                    # ref state consistent, surface the error once, and
+                    # keep decoding the remaining input on later calls
+                    from .utils.log import log
+                    self._dec.recover()
+                    log(self.settings, f"frame decode error: {e}")
+                    err = DecodeError(str(e))
+                    err.__cause__ = e
+                    err.props = props
+                    raise err
+                for res in results:
                     pic = res[1] if isinstance(res, tuple) else None
                     if pic is not None:
                         self._out.append((pic, props))
             if not self._out:
                 return None
             entry, props = self._out.popleft()
-            pic = resolve(entry)
+            try:
+                pic = resolve(entry)
+            except Exception as e:
+                # a pipelined Stage-B failure surfaces here; frames
+                # referencing the poisoned picture cascade the same way
+                # until a keyframe, exactly like the reference's
+                # abort_frame chain (thread_task.c:459-469)
+                from .utils.log import log
+                self._dec.recover()
+                log(self.settings, f"frame recon error: {e}")
+                err = DecodeError(str(e))
+                err.__cause__ = e
+                err.props = props
+                raise err
             if pic is not None:         # else: pipelined invisible frame
                 pic.props = props or DataProps()
                 return pic
@@ -147,7 +176,7 @@ class Decoder:
     def get_frame_delay(self) -> int:
         """dav1d_get_frame_delay equivalent (reference dav1d.h:310-323,
         lib.c:109-138): frames in flight before output is available."""
-        if self.settings.n_threads > 1:
+        if self._dec.n_threads > 1:
             return max(2, self.settings.max_frame_delay)
         return 1
 

@@ -46,6 +46,10 @@ class ObuStreamDecoder:
 
     def __init__(self, do_recon: bool = True, settings=None):
         from .api import Settings
+        # a bare ObuStreamDecoder() (tests/tools) decodes synchronously;
+        # the public api.Decoder passes Settings and gets the reference
+        # threading default (n_threads=0 -> logical cores, lib.c:109-126)
+        self._threaded_default = settings is not None
         self.settings = settings or Settings()
         self.state = obu_mod.ParserState()
         self.state.strict = self.settings.strict_std_compliance
@@ -59,9 +63,18 @@ class ObuStreamDecoder:
         self.event_flags = 0            # reference dav1d.h:268-295
         self.error_data = None          # failing input (lib.c:716-725)
         # frame pipeline: Stage A (submitting thread) overlaps Stage B
-        # (in-order worker) when threading is requested
+        # (in-order worker) when threading is requested. n_threads=0
+        # means "pick for me" like the reference (lib.c:109-126:
+        # default to the logical core count).
+        import os as _os
+        if self.settings.n_threads:
+            self.n_threads = self.settings.n_threads
+        elif self._threaded_default:
+            self.n_threads = min(_os.cpu_count() or 1, 256)
+        else:
+            self.n_threads = 1
         self.pipeline = None
-        if do_recon and self.settings.n_threads > 1:
+        if do_recon and self.n_threads > 1:
             from .parallel.executor import ReconPipeline
             self.pipeline = ReconPipeline()
 
@@ -102,6 +115,16 @@ class ObuStreamDecoder:
             self.error_data = data      # reference lib.c cached_error_props
             raise
         return out
+
+    def recover(self) -> None:
+        """Error containment (reference thread_task.c:459-469
+        abort_frame semantics): drop the in-flight frame's transient
+        state but keep the 8 ref slots and sequence header consistent,
+        so decode resumes at the next frame that only needs surviving
+        refs (at worst the next keyframe)."""
+        self.state.frame_hdr = None
+        self.tile_groups = []
+        self.n_tiles = 0
 
     def snapshot(self):
         """Resumable ref-state tuple (SURVEY §5: 8 ref slots + CDFs).
@@ -522,6 +545,23 @@ class ObuStreamDecoder:
         """Stage B for one frame: reconstruction, in-loop filters,
         super-res, film grain, output gating. Runs inline or on the
         pipeline worker; returns (reference_pic, output_pic_or_None)."""
+        from .parallel.executor import resolve
+        from .recon import picture as picture_mod
+        alloc_token = None
+        if self.settings.allocator is not None:
+            # decode lands in caller-provided buffers (reference
+            # picture.h:107-146: dav1d decodes directly into the
+            # allocator's pictures, references included)
+            alloc_token = picture_mod.set_picture_allocator(
+                self.settings.allocator)
+        try:
+            return self._recon_and_finish_inner(plan, refp, fh, seq,
+                                                key_or_intra)
+        finally:
+            if alloc_token is not None:
+                picture_mod.reset_picture_allocator(alloc_token)
+
+    def _recon_and_finish_inner(self, plan, refp, fh, seq, key_or_intra):
         from .parallel.executor import resolve
         if refp is not None:
             for slot in refp:

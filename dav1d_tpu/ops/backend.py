@@ -64,6 +64,32 @@ def default_device():
     return None
 
 
+_FETCH_POOL = None
+
+
+def fetch_all(arrs):
+    """Device->host for a list of arrays with overlapped transfers.
+
+    The TPU sits behind a tunnel with ~30ms per-transfer latency;
+    sequential np.asarray calls pay it serially, while a small thread
+    pool overlaps the round trips (measured ~7x on 30 small arrays).
+    Compute is awaited first so threads only pay transfer time."""
+    global _FETCH_POOL
+    import numpy as np
+    arrs = list(arrs)
+    if not arrs:
+        return []
+    if len(arrs) == 1:
+        return [np.asarray(arrs[0])]
+    jax = jax_mod()
+    jax.block_until_ready(arrs)
+    if _FETCH_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _FETCH_POOL = ThreadPoolExecutor(max_workers=8,
+                                         thread_name_prefix="d2h")
+    return list(_FETCH_POOL.map(np.asarray, arrs))
+
+
 class device_scope:
     """Context manager: run jax ops on the configured device."""
 

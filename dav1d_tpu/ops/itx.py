@@ -20,9 +20,14 @@ from __future__ import annotations
 
 from functools import lru_cache
 
-import jax
-import jax.numpy as jnp
 import numpy as np
+
+from .backend import jax_mod
+
+# route through backend.jax_mod() so the persistent compilation cache is
+# configured before the first jit compile (keyframes hit itx first)
+jax = jax_mod()
+jnp = jax.numpy
 
 from ..entropy import levels as lv
 from . import itx_core
@@ -96,18 +101,34 @@ def _target_device():
 
 def compute_frame_residuals(coefs, bitdepth: int):
     """Batch all non-skip coefficient blocks of a FramePlan through the
-    TPU itx kernels. Returns {id(coef_block): np residual (h, w)}."""
+    TPU itx kernels. Returns {id(coef_block): np residual (h, w)}.
+
+    Two-phase: dispatch every bucket's kernel asynchronously (XLA
+    queues them back-to-back on device), then overlap all the
+    device->host transfers (backend.fetch_all) instead of paying the
+    tunnel round-trip latency once per bucket.
+    """
+    from .backend import fetch_all
     buckets = {}
     for cb in coefs:
         if cb.eob < 0:
             continue
         buckets.setdefault((cb.tx, cb.txtp), []).append(cb)
     out = {}
-    for (tx, txtp), blocks in buckets.items():
-        cf = np.stack([b.cf for b in blocks]).astype(np.int32)
-        if txtp == lv.WHT_WHT:
-            res = np.asarray(_wht_batch(cf))
-        else:
+    pending = []        # block list per dispatched bucket
+    arrs = []
+    dev = _target_device()
+    ctx = jax.default_device(dev) if dev is not None else None
+    if ctx is not None:
+        ctx.__enter__()
+    try:
+        for (tx, txtp), blocks in buckets.items():
+            cf = np.stack([b.cf for b in blocks]).astype(np.int32)
+            if txtp == lv.WHT_WHT:
+                res = np.asarray(_wht_batch(cf))
+                for b, r in zip(blocks, res):
+                    out[id(b)] = r
+                continue
             # pad the batch to the next power of two: bounds the number
             # of XLA compilations per (tx, txtp) bucket to log2(B_max)
             B = cf.shape[0]
@@ -115,14 +136,14 @@ def compute_frame_residuals(coefs, bitdepth: int):
             if Bp != B:
                 cf = np.concatenate(
                     [cf, np.zeros((Bp - B, cf.shape[1]), np.int32)])
-            dev = _target_device()
-            if dev is not None:
-                with jax.default_device(dev):
-                    res = np.asarray(residual_fn(tx, txtp, bitdepth)(
-                        jnp.asarray(cf)))[:B]
-            else:
-                res = np.asarray(residual_fn(tx, txtp, bitdepth)(
-                    jnp.asarray(cf)))[:B]
+            r = residual_fn(tx, txtp, bitdepth)(jnp.asarray(cf))
+            pending.append(blocks)
+            arrs.append(r[:B])
+        fetched = fetch_all(arrs)
+    finally:
+        if ctx is not None:
+            ctx.__exit__(None, None, None)
+    for blocks, res in zip(pending, fetched):
         for b, r in zip(blocks, res):
             out[id(b)] = r
     return out

@@ -269,3 +269,215 @@ def _residual_fn(n, h, w, bd):
         return jnp.clip(cur + res, 0, (1 << bd) - 1)
 
     return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# scatter-fused, size-padded kernels
+#
+# The TPU sits behind a tunnel where every launch costs milliseconds, so
+# per-(h, w) bucketing (one kernel + one eager scatter per bucket,
+# ~140 buckets/frame) is launch-bound. These variants run ALL jobs of a
+# pass targeting one plane in a single launch: jobs are padded to a
+# canonical (H, W), compute covers the padded window (the padding FLOPs
+# are free — the VPU is idle), and the scatter happens inside the jit
+# with mode="drop" — destination indices for padding rows/cols (and for
+# batch-padding jobs) are set to an out-of-bounds sentinel on the host.
+# Bit-exactness: valid outputs only read gather columns/rows that exist
+# for the job's true (h, w); dropped lanes never land.
+# ---------------------------------------------------------------------------
+
+def _scatter_into(plane, drows, dcols, vals):
+    return plane.at[drows[:, :, None], dcols[:, None, :]].set(
+        vals.astype(plane.dtype), mode="drop")
+
+
+@lru_cache(maxsize=None)
+def _put8_scatter_fn(n, H, W, bd):
+    """Padded batched 8-tap put, scatter fused. rows (n, H+7),
+    cols (n, W+7) clamped gather ids; drows (n, H) / dcols (n, W)
+    destination ids with OOB sentinels on padding."""
+    jax = jax_mod()
+    jnp = jax.numpy
+    ib = intermediate_bits(bd)
+
+    def fn(REF, rows, cols, slot, fh, fv, plane, drows, dcols):
+        patch = REF[slot[:, None, None], rows[:, :, None],
+                    cols[:, None, :]].astype(jnp.int32)
+        mid = jnp.zeros((n, H + 7, W), jnp.int32)
+        for i in range(8):
+            mid = mid + fh[:, i, None, None] * patch[:, :, i:i + W]
+        mid = _rnd(jnp, mid, 6 - ib)
+        out = jnp.zeros((n, H, W), jnp.int32)
+        for i in range(8):
+            out = out + fv[:, i, None, None] * mid[:, i:i + H]
+        out = jnp.clip(_rnd(jnp, out, 6 + ib), 0, (1 << bd) - 1)
+        return _scatter_into(plane, drows, dcols, out)
+
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def _bilin_scatter_fn(n, H, W, bd):
+    jax = jax_mod()
+    jnp = jax.numpy
+    ib = intermediate_bits(bd)
+
+    def fn(REF, rows, cols, slot, amx, amy, plane, drows, dcols):
+        p = REF[slot[:, None, None], rows[:, :, None],
+                cols[:, None, :]].astype(jnp.int32)
+        mid = _rnd(jnp, 16 * p[:, :, :W] +
+                   amx[:, None, None] * (p[:, :, 1:W + 1] - p[:, :, :W]),
+                   4 - ib)
+        v = 16 * mid[:, :H] + amy[:, None, None] * (mid[:, 1:H + 1] -
+                                                    mid[:, :H])
+        out = jnp.clip(_rnd(jnp, v, 4 + ib), 0, (1 << bd) - 1)
+        return _scatter_into(plane, drows, dcols, out)
+
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def _warp_scatter_fn(n, bd):
+    """8x8 warp tiles with fused scatter (tiles are uniform, so no
+    size padding — only batch pow2 padding)."""
+    jax = jax_mod()
+    jnp = jax.numpy
+    ib = intermediate_bits(bd)
+    WF_np = _warp_filter()
+
+    def fn(REF, rows, cols, slot, mx, my, alpha, beta, gamma, delta,
+           plane, drows, dcols):
+        WF = jnp.asarray(WF_np)
+        patch = REF[slot[:, None, None], rows[:, :, None],
+                    cols[:, None, :]].astype(jnp.int32)
+        yy = jnp.arange(15, dtype=jnp.int32)
+        xx = jnp.arange(8, dtype=jnp.int32)
+        idx = 64 + ((mx[:, None, None] + beta[:, None, None] * yy[:, None]
+                     + alpha[:, None, None] * xx[None, :] + 512) >> 10)
+        F = WF[idx]
+        mid = jnp.zeros((n, 15, 8), jnp.int32)
+        for t in range(8):
+            mid = mid + F[:, :, :, t] * patch[:, :, t:t + 8]
+        mid = _rnd(jnp, mid, 7 - ib)
+        yy8 = jnp.arange(8, dtype=jnp.int32)
+        idxy = 64 + ((my[:, None, None] +
+                      delta[:, None, None] * yy8[:, None] +
+                      gamma[:, None, None] * xx[None, :] + 512) >> 10)
+        Fv = WF[idxy]
+        out = jnp.zeros((n, 8, 8), jnp.int32)
+        for t in range(8):
+            out = out + Fv[:, :, :, t] * mid[:, t:t + 8, :]
+        out = jnp.clip(_rnd(jnp, out, 7 + ib), 0, (1 << bd) - 1)
+        return _scatter_into(plane, drows, dcols, out)
+
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def _compound_scatter_fn(n, H, W, bd, ss_hor, ss_ver):
+    """Padded compound (two preps + combine) with fused scatter.
+    Returns (plane, seg_sub) — seg_sub padded (n, H>>ss_ver, W>>ss_hor)."""
+    jax = jax_mod()
+    jnp = jax.numpy
+    ib = intermediate_bits(bd)
+    pb = prep_bias(bd)
+    px_max = (1 << bd) - 1
+
+    def prep(REF, rows, cols, slot, fh, fv):
+        patch = REF[slot[:, None, None], rows[:, :, None],
+                    cols[:, None, :]].astype(jnp.int32)
+        mid = jnp.zeros((n, H + 7, W), jnp.int32)
+        for i in range(8):
+            mid = mid + fh[:, i, None, None] * patch[:, :, i:i + W]
+        mid = _rnd(jnp, mid, 6 - ib)
+        out = jnp.zeros((n, H, W), jnp.int32)
+        for i in range(8):
+            out = out + fv[:, i, None, None] * mid[:, i:i + H]
+        return _rnd(jnp, out, 6) - pb
+
+    def fn(REF, r0, c0, s0, fh0, fv0, r1, c1, s1, fh1, fv1,
+           mode, jw, sign, msk, plane, drows, dcols):
+        t0 = prep(REF, r0, c0, s0, fh0, fv0)
+        t1 = prep(REF, r1, c1, s1, fh1, fv1)
+        sgn = sign[:, None, None]
+        ts0 = jnp.where(sgn == 1, t1, t0)
+        ts1 = jnp.where(sgn == 1, t0, t1)
+        m3 = mode[:, None, None]
+        avg = (t0 + t1 + ((1 << ib) + pb * 2)) >> (ib + 1)
+        jw3 = jw[:, None, None]
+        wavg = (t0 * jw3 + t1 * (16 - jw3) +
+                ((8 << ib) + pb * 16)) >> (ib + 4)
+        mask_sh = bd + ib - 4
+        mask_rnd = 1 << (mask_sh - 5)
+        tdiff = ts0 - ts1
+        m_seg = jnp.minimum(38 + ((jnp.abs(tdiff) + mask_rnd) >> mask_sh),
+                            64)
+        m_used = jnp.where(m3 == COMP_SEG, m_seg, msk.astype(jnp.int32))
+        masked = (tdiff * m_used + ts1 * 64 +
+                  ((32 << ib) + pb * 64)) >> (ib + 6)
+        out = jnp.where(m3 == COMP_AVG, avg,
+                        jnp.where(m3 == COMP_WAVG, wavg, masked))
+        out = jnp.clip(out, 0, px_max)
+        if ss_hor:
+            mpair = m_seg[:, :, 0::2] + m_seg[:, :, 1::2]
+            if ss_ver:
+                seg_sub = (mpair[:, 0::2] + mpair[:, 1::2] +
+                           2 - sign[:, None, None]) >> 2
+            else:
+                seg_sub = (mpair + 1 - sign[:, None, None]) >> 1
+        else:
+            seg_sub = m_seg
+        return _scatter_into(plane, drows, dcols, out), seg_sub
+
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def _obmc_scatter_fn(n, ww, hh, lap_h, bd, top):
+    """OBMC lap + blend with fused scatter (per-bucket shapes kept —
+    OBMC job counts are small)."""
+    jax = jax_mod()
+    jnp = jax.numpy
+    ib = intermediate_bits(bd)
+    px_max = (1 << bd) - 1
+    if top:
+        hb = (hh * 3) >> 2
+        m = jnp.asarray(obmc_masks()[hh:hh + hb].reshape(1, hb, 1))
+    else:
+        wb = (ww * 3) >> 2
+        m = jnp.asarray(obmc_masks()[ww:ww + wb].reshape(1, 1, wb))
+
+    def fn(REF, rows, cols, slot, fh, fv, plane, drows, dcols):
+        patch = REF[slot[:, None, None], rows[:, :, None],
+                    cols[:, None, :]].astype(jnp.int32)
+        mid = jnp.zeros((n, lap_h + 7, ww), jnp.int32)
+        for i in range(8):
+            mid = mid + fh[:, i, None, None] * patch[:, :, i:i + ww]
+        mid = _rnd(jnp, mid, 6 - ib)
+        lap = jnp.zeros((n, lap_h, ww), jnp.int32)
+        for i in range(8):
+            lap = lap + fv[:, i, None, None] * mid[:, i:i + lap_h]
+        lap = jnp.clip(_rnd(jnp, lap, 6 + ib), 0, px_max)
+        if top:
+            lap = lap[:, :(hh * 3) >> 2]
+        else:
+            lap = lap[:, :, :(ww * 3) >> 2]
+        dst = plane[drows[:, :, None], dcols[:, None, :]].astype(jnp.int32)
+        out = (dst * (64 - m) + lap * m + 32) >> 6
+        return _scatter_into(plane, drows, dcols, out)
+
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def _residual_scatter_fn(n, H, W, bd):
+    """Padded residual add with fused scatter."""
+    jax = jax_mod()
+    jnp = jax.numpy
+
+    def fn(plane, drows, dcols, res):
+        cur = plane[drows[:, :, None], dcols[:, None, :]].astype(jnp.int32)
+        out = jnp.clip(cur + res, 0, (1 << bd) - 1)
+        return _scatter_into(plane, drows, dcols, out)
+
+    return jax.jit(fn)

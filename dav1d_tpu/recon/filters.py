@@ -93,6 +93,11 @@ def run_filter_chain_device(pic, plan, inloop_filters):
             from ..ops.lr import lr_planes_device
             planes = lr_planes_device(planes, pre_cdef, plan, pic.bpc)
 
-        for i, p in enumerate(out_pic.planes):
-            p[:] = np.asarray(planes[i]).astype(p.dtype)
+        from ..ops.backend import fetch_all
+        # cast on device (4x fewer bytes over the tunnel), then overlap
+        # the per-plane transfers
+        casts = [pl.astype(hp.dtype)
+                 for hp, pl in zip(out_pic.planes, planes)]
+        for hp, a in zip(out_pic.planes, fetch_all(casts)):
+            hp[:] = a
     return out_pic

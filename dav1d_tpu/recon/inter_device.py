@@ -293,6 +293,56 @@ class DeviceInterReconstructor(InterReconstructor):
     def _padn(n):
         return 1 << max(2, (n - 1).bit_length())
 
+    # two size classes bound the padding waste of the merged passes:
+    # small blocks (<=16) don't get padded to the frame's largest block
+    @staticmethod
+    def _size_class(h, w):
+        return 0 if max(h, w) <= 16 else 1
+
+    def _regroup(self, buckets):
+        """{(pi, h, w): jobs} -> {(pi, cls): [(h, w, job), ...]}."""
+        groups = {}
+        for (pi, h, w), jobs in buckets.items():
+            g = groups.setdefault((pi, self._size_class(h, w)), [])
+            for j in jobs:
+                g.append((h, w, j))
+        return groups
+
+    @staticmethod
+    def _pad_hw(items):
+        """Canonical padded (H, W) of a group (block dims are powers of
+        two, so the max is already the padded size)."""
+        return (max(h for h, _, _ in items), max(w for _, w, _ in items))
+
+    _OOB = 1 << 20          # scatter sentinel: dropped by mode="drop"
+
+    def _dst_tables(self, items, np2, H, W):
+        """drows/dcols with OOB on size- and batch-padding lanes."""
+        n = len(items)
+        OOB = self._OOB
+        drows = np.full((np2, H), OOB, np.int32)
+        dcols = np.full((np2, W), OOB, np.int32)
+        for i, (h, w, j) in enumerate(items):
+            drows[i, :h] = j[0] + np.arange(h, dtype=np.int32)
+            dcols[i, :w] = j[1] + np.arange(w, dtype=np.int32)
+        return drows, dcols
+
+    def _gather_tables(self, pi, items, np2, H, W, off, dyi, dxi):
+        """Clamped source gather ids rows (np2, H+7+1?), cols — the
+        window is (H+off*2+1? ) — for 8-tap off=3 window H+7; bilin
+        off=0 window H+1."""
+        rh, rw = self._ref_bounds(int(bool(pi)))
+        win_h = H + (7 if off == 3 else 1)
+        win_w = W + (7 if off == 3 else 1)
+        rows = np.zeros((np2, win_h), np.int32)
+        cols = np.zeros((np2, win_w), np.int32)
+        ar_h = np.arange(win_h, dtype=np.int32)
+        ar_w = np.arange(win_w, dtype=np.int32)
+        for i, (h, w, j) in enumerate(items):
+            rows[i] = np.clip(j[dyi] - off + ar_h, 0, rh - 1)
+            cols[i] = np.clip(j[dxi] - off + ar_w, 0, rw - 1)
+        return rows, cols
+
     def _execute(self):
         if not (self.put8 or self.bilin or self.warp or self.comp or
                 self.obmc_jobs or self.res_jobs):
@@ -300,113 +350,115 @@ class DeviceInterReconstructor(InterReconstructor):
         jax = jax_mod()
         jnp = jax.numpy
         bd = self.bitdepth
-        OOB = 1 << 20      # scatter row sentinel for batch padding
+        OOB = self._OOB
+        fb = mcdev.filter_banks()
+        from ..ops.backend import fetch_all
         with device_scope():
             stacks = self._build_refstacks(jnp)
             planes = [jnp.asarray(p) for p in self.pic.planes]
 
-            def scatter(pi, rows, cols, vals):
-                planes[pi] = planes[pi].at[
-                    rows[:, :, None], cols[:, None, :]].set(
-                    vals.astype(planes[pi].dtype), mode="drop")
-
-            def col(jobs, idx, np2, fill=0):
-                n = len(jobs)
+            def ivec(vals, np2, n, fill=0):
                 a = np.full(np2, fill, np.int32)
-                a[:n] = np.fromiter((j[idx] for j in jobs), np.int32, n)
+                a[:n] = np.fromiter(vals, np.int32, n)
                 return a
 
-            def put_tables(key, jobs, np2, win_h, win_w, off):
-                """Gather tables, batch-padded to np2 (padding jobs
-                write to the OOB sentinel row and are dropped)."""
-                pl_type = int(bool(key[0]))
-                rh, rw = self._ref_bounds(pl_type)
-                REF, slot_of = stacks[key[0]]
-                n = len(jobs)
-                py = col(jobs, 0, np2, OOB)
-                px = col(jobs, 1, np2)
-                r = np.zeros(np2, np.int32)
-                r[:n] = np.fromiter((slot_of[j[2]] for j in jobs),
-                                    np.int32, n)
-                dy = col(jobs, 3, np2)
-                dx = col(jobs, 4, np2)
-                rows = np.clip(dy[:, None] - off +
-                               np.arange(win_h, dtype=np.int32), 0,
-                               rh - 1)
-                cols = np.clip(dx[:, None] - off +
-                               np.arange(win_w, dtype=np.int32), 0,
-                               rw - 1)
-                return REF, py, px, r, rows, cols
-
-            fb = mcdev.filter_banks()
-
-            def taps(jobs, np2, w, h, mi=5, fi=7):
-                amx = col(jobs, mi, np2)
-                amy = col(jobs, mi + 1, np2)
-                ft = col(jobs, fi, np2)
-                fh = fb[int(w <= 4), ft & 3, amx]
-                fv = fb[int(h <= 4), (ft >> 2) & 3, amy]
+            def job_taps(items, np2):
+                """Per-job 8-tap rows; the small-block 4-tap variant is
+                selected per job (mc_tmpl.c:116-133)."""
+                n = len(items)
+                amx = ivec((j[5] for _, _, j in items), np2, n)
+                amy = ivec((j[6] for _, _, j in items), np2, n)
+                ft = ivec((j[7] for _, _, j in items), np2, n)
+                small_w = ivec((int(w <= 4) for _, w, _ in items), np2, n)
+                small_h = ivec((int(h <= 4) for h, _, _ in items), np2, n)
+                fh = fb[small_w, ft & 3, amx]
+                fv = fb[small_h, (ft >> 2) & 3, amy]
                 return fh, fv, amx, amy
 
-            # ---- pass A: single-ref puts --------------------------------
-            for (pi, h, w), jobs in self.put8.items():
-                np2 = self._padn(len(jobs))
-                REF, py, px, r, rows, cols = put_tables(
-                    (pi, h, w), jobs, np2, h + 7, w + 7, 3)
-                fh, fv, _, _ = taps(jobs, np2, w, h)
-                fn = mcdev._put8_fn(np2, h, w, bd, True)
-                out = fn(REF, rows, cols, r, fh, fv)
-                rr = py[:, None] + np.arange(h, dtype=np.int32)
-                cc = px[:, None] + np.arange(w, dtype=np.int32)
-                scatter(pi, rr, cc, out)
-            for (pi, h, w), jobs in self.bilin.items():
-                np2 = self._padn(len(jobs))
-                REF, py, px, r, rows, cols = put_tables(
-                    (pi, h, w), jobs, np2, h + 1, w + 1, 0)
-                amx = col(jobs, 5, np2)
-                amy = col(jobs, 6, np2)
-                fn = mcdev._bilin_fn(np2, h, w, bd, True)
-                out = fn(REF, rows, cols, r, amx, amy)
-                rr = py[:, None] + np.arange(h, dtype=np.int32)
-                cc = px[:, None] + np.arange(w, dtype=np.int32)
-                scatter(pi, rr, cc, out)
-            for (pi, put), jobs in self.warp.items():
-                pl_type = int(bool(pi))
-                rh, rw = self._ref_bounds(pl_type)
+            # ---- pass A: single-ref puts (one launch per plane/class) ---
+            for (pi, _cls), items in self._regroup(self.put8).items():
+                H, W = self._pad_hw(items)
+                np2 = self._padn(len(items))
+                n = len(items)
+                REF, slot_of = stacks[pi]
+                rows, cols = self._gather_tables(pi, items, np2, H, W,
+                                                 3, 3, 4)
+                drows, dcols = self._dst_tables(items, np2, H, W)
+                slot = ivec((slot_of[j[2]] for _, _, j in items), np2, n)
+                fh, fv, _, _ = job_taps(items, np2)
+                fn = mcdev._put8_scatter_fn(np2, H, W, bd)
+                planes[pi] = fn(REF, rows, cols, slot, fh, fv,
+                                planes[pi], drows, dcols)
+            for (pi, _cls), items in self._regroup(self.bilin).items():
+                H, W = self._pad_hw(items)
+                np2 = self._padn(len(items))
+                n = len(items)
+                REF, slot_of = stacks[pi]
+                rows, cols = self._gather_tables(pi, items, np2, H, W,
+                                                 0, 3, 4)
+                drows, dcols = self._dst_tables(items, np2, H, W)
+                slot = ivec((slot_of[j[2]] for _, _, j in items), np2, n)
+                amx = ivec((j[5] for _, _, j in items), np2, n)
+                amy = ivec((j[6] for _, _, j in items), np2, n)
+                fn = mcdev._bilin_scatter_fn(np2, H, W, bd)
+                planes[pi] = fn(REF, rows, cols, slot, amx, amy,
+                                planes[pi], drows, dcols)
+            for (pi, _put), jobs in self.warp.items():
+                rh, rw = self._ref_bounds(int(bool(pi)))
                 REF, slot_of = stacks[pi]
                 np2 = self._padn(len(jobs))
                 n = len(jobs)
-                py = col(jobs, 0, np2, OOB)
-                px = col(jobs, 1, np2)
-                r = np.zeros(np2, np.int32)
-                r[:n] = np.fromiter((slot_of[j[2]] for j in jobs),
-                                    np.int32, n)
-                dy = col(jobs, 3, np2)
-                dx = col(jobs, 4, np2)
-                rows = np.clip(dy[:, None] - 3 +
-                               np.arange(15, dtype=np.int32), 0, rh - 1)
-                cols = np.clip(dx[:, None] - 3 +
-                               np.arange(15, dtype=np.int32), 0, rw - 1)
-                mx = col(jobs, 5, np2)
-                my = col(jobs, 6, np2)
-                al = col(jobs, 7, np2)
-                be = col(jobs, 8, np2)
-                ga = col(jobs, 9, np2)
-                de = col(jobs, 10, np2)
-                fn = mcdev._warp_fn(np2, bd, put)
-                out = fn(REF, rows, cols, r, mx, my, al, be, ga, de)
-                rr = py[:, None] + np.arange(8, dtype=np.int32)
-                cc = px[:, None] + np.arange(8, dtype=np.int32)
-                scatter(pi, rr, cc, out)
+                py = ivec((j[0] for j in jobs), np2, n, OOB)
+                px = ivec((j[1] for j in jobs), np2, n, OOB)
+                slot = ivec((slot_of[j[2]] for j in jobs), np2, n)
+                dy = ivec((j[3] for j in jobs), np2, n)
+                dx = ivec((j[4] for j in jobs), np2, n)
+                rows = np.clip(dy[:, None] +
+                               np.arange(-3, 12, dtype=np.int32), 0,
+                               rh - 1)
+                cols = np.clip(dx[:, None] +
+                               np.arange(-3, 12, dtype=np.int32), 0,
+                               rw - 1)
+                mx = ivec((j[5] for j in jobs), np2, n)
+                my = ivec((j[6] for j in jobs), np2, n)
+                al = ivec((j[7] for j in jobs), np2, n)
+                be = ivec((j[8] for j in jobs), np2, n)
+                ga = ivec((j[9] for j in jobs), np2, n)
+                de = ivec((j[10] for j in jobs), np2, n)
+                drows = np.where(py[:, None] >= OOB, OOB,
+                                 py[:, None] +
+                                 np.arange(8, dtype=np.int32))
+                dcols = np.where(px[:, None] >= OOB, OOB,
+                                 px[:, None] +
+                                 np.arange(8, dtype=np.int32))
+                fn = mcdev._warp_scatter_fn(np2, bd)
+                planes[pi] = fn(REF, rows, cols, slot, mx, my, al, be,
+                                ga, de, planes[pi], drows, dcols)
 
-            # ---- pass B: compounds (luma first for seg masks) -----------
+            # ---- pass B: compounds (luma first; the seg sub-masks of
+            # ALL luma groups are fetched in one overlapped transfer
+            # before the chroma groups run) ---------------------------
+            comp_groups = self._regroup(self.comp)
             seg_results = {}
-            for luma in (True, False):
-                for (pi, h, w), jobs in self.comp.items():
-                    if (pi == 0) != luma:
-                        continue
-                    self._run_comp_bucket(pi, h, w, jobs, stacks,
-                                          scatter, seg_results, bd)
+            seg_pending = []    # ([(i, job_id, hs, ws)], device batch)
+            for (pi, _cls), items in comp_groups.items():
+                if pi != 0:
+                    continue
+                planes[pi] = self._run_comp_group(
+                    pi, items, stacks, planes[pi], seg_results, bd,
+                    seg_pending)
+            if seg_pending:
+                for (ids, _), seg_np in zip(
+                        seg_pending,
+                        fetch_all([a for _, a in seg_pending])):
+                    for i, job_id, hs, ws in ids:
+                        seg_results[job_id] = seg_np[i, :hs, :ws]
+            for (pi, _cls), items in comp_groups.items():
+                if pi == 0:
+                    continue
+                planes[pi] = self._run_comp_group(
+                    pi, items, stacks, planes[pi], seg_results, bd,
+                    None)
 
             # ---- pass C: OBMC blends (top, then left) -------------------
             for top in (True, False):
@@ -414,103 +466,126 @@ class DeviceInterReconstructor(InterReconstructor):
                     if key[0] != top:
                         continue
                     _, pi, ww, hh, lap_h = key
+                    rh, rw = self._ref_bounds(int(bool(pi)))
+                    REF, slot_of = stacks[pi]
                     np2 = self._padn(len(jobs))
-                    REF, py, px, r, rows, cols = put_tables(
-                        (pi, lap_h, ww), jobs, np2, lap_h + 7, ww + 7, 3)
-                    fh, fv, _, _ = taps(jobs, np2, ww, lap_h)
+                    n = len(jobs)
+                    py = ivec((j[0] for j in jobs), np2, n, OOB)
+                    px = ivec((j[1] for j in jobs), np2, n, OOB)
+                    slot = ivec((slot_of[j[2]] for j in jobs), np2, n)
+                    dy = ivec((j[3] for j in jobs), np2, n)
+                    dx = ivec((j[4] for j in jobs), np2, n)
+                    rows = np.clip(dy[:, None] - 3 +
+                                   np.arange(lap_h + 7, dtype=np.int32),
+                                   0, rh - 1)
+                    cols = np.clip(dx[:, None] - 3 +
+                                   np.arange(ww + 7, dtype=np.int32),
+                                   0, rw - 1)
+                    amx = ivec((j[5] for j in jobs), np2, n)
+                    amy = ivec((j[6] for j in jobs), np2, n)
+                    ft = ivec((j[7] for j in jobs), np2, n)
+                    fh = fb[int(ww <= 4), ft & 3, amx]
+                    fv = fb[int(lap_h <= 4), (ft >> 2) & 3, amy]
                     if top:
                         hb, wbl = (hh * 3) >> 2, ww
                     else:
                         hb, wbl = hh, (ww * 3) >> 2
-                    drows = py[:, None] + np.arange(hb, dtype=np.int32)
-                    dcols = px[:, None] + np.arange(wbl, dtype=np.int32)
-                    fn = mcdev._obmc_blend_fn(np2, ww, hh, lap_h,
-                                              bd, top)
-                    out = fn(REF, rows, cols, r, fh, fv,
-                             planes[pi].astype(jnp.int32),
-                             np.minimum(drows, OOB - 1),
-                             dcols)
-                    scatter(pi, drows, dcols, out)
+                    drows = np.where(py[:, None] >= OOB, OOB,
+                                     py[:, None] +
+                                     np.arange(hb, dtype=np.int32))
+                    dcols = np.where(px[:, None] >= OOB, OOB,
+                                     px[:, None] +
+                                     np.arange(wbl, dtype=np.int32))
+                    fn = mcdev._obmc_scatter_fn(np2, ww, hh, lap_h, bd,
+                                                top)
+                    planes[pi] = fn(REF, rows, cols, slot, fh, fv,
+                                    planes[pi], drows, dcols)
 
-            # ---- pass D: residuals --------------------------------------
-            for (pi, h, w), jobs in self.res_jobs.items():
-                np2 = self._padn(len(jobs))
-                py = col(jobs, 0, np2, OOB)
-                px = col(jobs, 1, np2)
-                res = np.zeros((np2, h, w), np.int32)
-                res[:len(jobs)] = np.stack([j[2] for j in jobs])
-                rr = py[:, None] + np.arange(h, dtype=np.int32)
-                cc = px[:, None] + np.arange(w, dtype=np.int32)
-                fn = mcdev._residual_fn(np2, h, w, bd)
-                out = fn(planes[pi].astype(jnp.int32), rr, cc, res)
-                scatter(pi, rr, cc, out)
+            # ---- pass D: residuals (one launch per plane/class) ---------
+            for (pi, _cls), items in self._regroup(self.res_jobs).items():
+                H, W = self._pad_hw(items)
+                np2 = self._padn(len(items))
+                drows, dcols = self._dst_tables(items, np2, H, W)
+                res = np.zeros((np2, H, W), np.int32)
+                for i, (h, w, j) in enumerate(items):
+                    res[i, :h, :w] = j[2]
+                fn = mcdev._residual_scatter_fn(np2, H, W, bd)
+                planes[pi] = fn(planes[pi], drows, dcols, res)
 
-            for i, p in enumerate(self.pic.planes):
-                p[:] = np.asarray(planes[i])
+            # cast on device (4x fewer bytes over the tunnel), then
+            # overlap the per-plane transfers
+            casts = [pl.astype(hp.dtype)
+                     for hp, pl in zip(self.pic.planes, planes)]
+            for hp, a in zip(self.pic.planes, fetch_all(casts)):
+                hp[:] = a
 
-    def _run_comp_bucket(self, pi, h, w, jobs, stacks, scatter,
-                         seg_results, bd):
+    def _run_comp_group(self, pi, items, stacks, plane, seg_results, bd,
+                        seg_pending=None):
+        """One padded compound launch for all of one plane/class's
+        compound jobs; returns the updated plane."""
         f = self.f
-        jnp = jax_mod().numpy
-        pl_type = int(bool(pi))
-        rh, rw = self._ref_bounds(pl_type)
+        rh, rw = self._ref_bounds(int(bool(pi)))
         REF, slot_of = stacks[pi]
         fbk = mcdev.filter_banks()
-        n = len(jobs)
+        n = len(items)
         np2 = self._padn(n)
-        OOB = 1 << 20
+        H, W = self._pad_hw(items)
+        OOB = self._OOB
 
         def colv(vals, fill=0):
             a = np.full(np2, fill, np.int32)
             a[:n] = np.fromiter(vals, np.int32, n)
             return a
 
-        py = colv((j[0] for j in jobs), OOB)
-        px = colv((j[1] for j in jobs))
-        srcs_t = [[], []]
-        for j in jobs:
-            for i in range(2):
-                srcs_t[i].append(j[2][i])
+        drows, dcols = self._dst_tables(items, np2, H, W)
         parts = []
-        for i in range(2):
-            dy = colv(s[2] for s in srcs_t[i])
-            dx = colv(s[3] for s in srcs_t[i])
-            amx = colv(s[4] for s in srcs_t[i])
-            amy = colv(s[5] for s in srcs_t[i])
-            ft = colv(s[6] for s in srcs_t[i])
-            r = colv(slot_of[s[7]] for s in srcs_t[i])
-            rows = np.clip(dy[:, None] - 3 + np.arange(h + 7,
-                                                       dtype=np.int32),
-                           0, rh - 1)
-            cols = np.clip(dx[:, None] - 3 + np.arange(w + 7,
-                                                       dtype=np.int32),
-                           0, rw - 1)
-            fh = fbk[int(w <= 4), ft & 3, amx]
-            fv = fbk[int(h <= 4), (ft >> 2) & 3, amy]
+        ar_h = np.arange(H + 7, dtype=np.int32)
+        ar_w = np.arange(W + 7, dtype=np.int32)
+        for si in range(2):
+            srcs = [j[2][si] for _, _, j in items]
+            rows = np.zeros((np2, H + 7), np.int32)
+            cols = np.zeros((np2, W + 7), np.int32)
+            for i, s in enumerate(srcs):
+                rows[i] = np.clip(s[2] - 3 + ar_h, 0, rh - 1)
+                cols[i] = np.clip(s[3] - 3 + ar_w, 0, rw - 1)
+            amx = colv(s[4] for s in srcs)
+            amy = colv(s[5] for s in srcs)
+            ft = colv(s[6] for s in srcs)
+            r = colv(slot_of[s[7]] for s in srcs)
+            small_w = colv(int(w <= 4) for _, w, _ in items)
+            small_h = colv(int(h <= 4) for h, _, _ in items)
+            fh = fbk[small_w, ft & 3, amx]
+            fv = fbk[small_h, (ft >> 2) & 3, amy]
             parts.extend([rows, cols, r, fh, fv])
-        mode = colv(j[3] for j in jobs)
-        jw = colv(j[4] for j in jobs)
-        sign = colv(j[5] for j in jobs)
-        msk = np.zeros((np2, h, w), np.int32)
-        for i, j in enumerate(jobs):
+        mode = colv(j[3] for _, _, j in items)
+        jw = colv(j[4] for _, _, j in items)
+        sign = colv(j[5] for _, _, j in items)
+        msk = np.zeros((np2, H, W), np.int8)
+        for i, (h, w, j) in enumerate(items):
             m = j[6]
             if isinstance(m, tuple) and m and m[0] == "seg":
                 m = seg_results[m[1]]
             if m is not None and mode[i] not in (COMP_INTER_AVG,
                                                  COMP_INTER_WEIGHTED_AVG):
-                msk[i] = m
+                msk[i, :h, :w] = m
         ss_hor = f.ss_hor if pi == 0 else 0
         ss_ver = f.ss_ver if pi == 0 else 0
-        fn = mcdev._compound_fn(np2, h, w, bd, ss_hor, ss_ver)
-        out, seg_sub = fn(REF, *parts, mode, jw, sign, msk)
-        if pi == 0 and any(j[3] == COMP_INTER_SEG for j in jobs):
-            seg_np = np.asarray(seg_sub)
-            for i, j in enumerate(jobs):
-                if j[3] == COMP_INTER_SEG:
-                    seg_results[j[7]] = seg_np[i]
-        rr = py[:, None] + np.arange(h, dtype=np.int32)
-        cc = px[:, None] + np.arange(w, dtype=np.int32)
-        scatter(pi, rr, cc, out)
+        fn = mcdev._compound_scatter_fn(np2, H, W, bd, ss_hor, ss_ver)
+        plane, seg_sub = fn(REF, *parts, mode, jw, sign, msk, plane,
+                            drows, dcols)
+        if pi == 0 and any(j[3] == COMP_INTER_SEG for _, _, j in items):
+            ids = [(i, j[7], h >> ss_ver, w >> ss_hor)
+                   for i, (h, w, j) in enumerate(items)
+                   if j[3] == COMP_INTER_SEG]
+            if seg_pending is not None:
+                # defer the device->host fetch; the caller overlaps all
+                # luma groups' transfers in one fetch_all
+                seg_pending.append((ids, seg_sub))
+            else:
+                seg_np = np.asarray(seg_sub)
+                for i, job_id, hs, ws in ids:
+                    seg_results[job_id] = seg_np[i, :hs, :ws]
+        return plane
 
 
 def reconstruct_inter_frame_device(plan, refp):

@@ -1,15 +1,49 @@
 """Output picture container (reference src/picture.c buffer geometry:
 planes padded to 128-aligned dimensions; we keep exact-size numpy planes
-plus the visible-geometry metadata the muxers need)."""
+plus the visible-geometry metadata the muxers need).
+
+Custom allocator contract (reference include/dav1d/picture.h:107-146
+Dav1dPicAllocator): a Settings.allocator object with
+
+    alloc_picture_data(pic) -> list[np.ndarray] | None
+    release_picture_data(pic)            (optional)
+
+`alloc_picture_data` receives the Picture (w/h/layout/bpc set, planes
+not yet) and returns one 2-D array per plane with the padded geometry
+from `Picture.plane_shapes()` and dtype `Picture.dtype()` — e.g. views
+into one caller-owned buffer, pinned host memory for a zero-copy
+device download, or a recycling pool. Returning None falls back to the
+default allocator for that picture (reference picture.h:117: the
+callback may fail; dav1d then errors — we soften to fallback).
+Buffers may be dirty; the decoder writes every pixel it reads back.
+"""
 from __future__ import annotations
 
+import contextvars
+
 import numpy as np
+
+# active allocator for pictures created inside the decode call stack
+# (set by the Stage-B driver from Settings.allocator; a context var so
+# the pipeline worker thread and the caller thread stay independent)
+_ALLOCATOR = contextvars.ContextVar("dav1d_tpu_allocator", default=None)
+
+
+def set_picture_allocator(alloc):
+    """Install `alloc` as the allocator for Pictures created in this
+    context; returns a token for `reset_picture_allocator`."""
+    return _ALLOCATOR.set(alloc)
+
+
+def reset_picture_allocator(token) -> None:
+    _ALLOCATOR.reset(token)
 
 
 class Picture:
     __slots__ = ("planes", "w", "h", "bpc", "layout", "layout_name",
                  "ss_hor", "ss_ver", "content_light", "mastering_display",
-                 "itut_t35", "seq_hdr", "frame_hdr", "props")
+                 "itut_t35", "seq_hdr", "frame_hdr", "props",
+                 "allocator", "allocator_data")
 
     _NAMES = {0: "I400", 1: "I420", 2: "I422", 3: "I444"}
 
@@ -27,15 +61,53 @@ class Picture:
         self.seq_hdr = None             # set by the decoder on output
         self.frame_hdr = None
         self.props = None               # DataProps of the source input
-        dtype = np.uint8 if bpc == 8 else np.uint16
-        # padded to 128-aligned dims like the reference allocator
-        # (reference picture.c:46-49) — edge tx/pred blocks overshoot the
-        # visible area into the padding
-        aw = (w + 127) & ~127
-        ah = (h + 127) & ~127
-        self.planes = [np.zeros((ah, aw), dtype)]
-        if layout != 0:
+        self.allocator = _ALLOCATOR.get()
+        self.allocator_data = None      # reference picture.h:84 cookie
+        planes = None
+        if self.allocator is not None:
+            planes = self.allocator.alloc_picture_data(self)
+        if planes is None:
+            dtype = self.dtype()
+            planes = [np.zeros(s, dtype) for s in self.plane_shapes()]
+        else:
+            self._check_planes(planes)
+            for p in planes:
+                p.fill(0)   # padding must start deterministic (edge
+                            # blocks overshoot the visible area)
+        self.planes = list(planes)
+
+    # -- allocator-facing geometry (reference picture.c:46-49: padded to
+    # 128-aligned dimensions so edge tx/pred blocks can overshoot) -----
+    def dtype(self):
+        return np.uint8 if self.bpc == 8 else np.uint16
+
+    def plane_shapes(self):
+        aw = (self.w + 127) & ~127
+        ah = (self.h + 127) & ~127
+        shapes = [(ah, aw)]
+        if self.layout != 0:
             cw = (aw + self.ss_hor) >> self.ss_hor
             chh = (ah + self.ss_ver) >> self.ss_ver
-            self.planes += [np.zeros((chh, cw), dtype),
-                            np.zeros((chh, cw), dtype)]
+            shapes += [(chh, cw), (chh, cw)]
+        return shapes
+
+    def _check_planes(self, planes):
+        shapes = self.plane_shapes()
+        if len(planes) != len(shapes):
+            raise ValueError("allocator returned wrong plane count")
+        for p, s in zip(planes, shapes):
+            if p.shape != s or p.dtype != self.dtype():
+                raise ValueError(
+                    f"allocator plane {p.shape}/{p.dtype} != {s}/"
+                    f"{self.dtype().__name__}")
+            if not p.flags["C_CONTIGUOUS"] or not p.flags["WRITEABLE"]:
+                raise ValueError("allocator planes must be C-contiguous "
+                                 "writable")
+
+    def release(self) -> None:
+        """Return allocator-owned buffers (reference
+        dav1d_picture_unref -> release_picture_callback)."""
+        if self.allocator is not None and \
+                hasattr(self.allocator, "release_picture_data"):
+            self.allocator.release_picture_data(self)
+        self.planes = []
