@@ -74,6 +74,7 @@ class ObuStreamDecoder:
         else:
             self.n_threads = 1
         self.pipeline = None
+        self._tile_pool = None        # lazy Stage-A tile thread pool
         if do_recon and self.n_threads > 1:
             from .parallel.executor import ReconPipeline
             self.pipeline = ReconPipeline()
@@ -484,24 +485,57 @@ class ObuStreamDecoder:
 
         plan = FramePlan(f)
         out_cdf = None
-        tile_idx = 0
         n_cols = fh.tiling.cols
+        n_tiles_f = fh.tiling.rows * n_cols
         self.last_tile_payloads = []
-        for tr in range(fh.tiling.rows):
-            for tc in range(n_cols):
+
+        def finish_tile(tile_idx, tp):
+            nonlocal out_cdf
+            if coder_factory is not None:
+                self.last_tile_payloads.append(tp.msac.enc.finalize())
+            if fh.refresh_context and tile_idx == fh.tiling.update:
+                out_cdf = in_cdf.copy()
+                out_cdf.update_from(tp.cdf, key_or_intra=key_or_intra)
+
+        # tile-parallel Stage A: tiles are self-contained entropy units
+        # (reference decode.c:2425-2509, run on worker threads by
+        # thread_task.c:556-915); the native per-tile parse releases
+        # the GIL, so independent tiles run on a thread pool and
+        # materialize into the FramePlan in tile order.
+        threaded = (coder_factory is None and n_tiles_f > 1 and
+                    self.n_threads > 1)
+        runs = None
+        if threaded:
+            from .entropy import native_tile
+            tps = []
+            for tile_idx in range(n_tiles_f):
+                tr, tc = divmod(tile_idx, n_cols)
+                tps.append(TileParser(f, plan, tiles[tile_idx], tr, tc,
+                                      in_cdf.copy()))
+            runs = [native_tile.prepare_tile_native(tp) for tp in tps]
+            if any(r is None for r in runs):
+                runs = None          # fall back to the sequential walk
+        if runs is not None:
+            from concurrent.futures import ThreadPoolExecutor
+            if self._tile_pool is None:
+                self._tile_pool = ThreadPoolExecutor(
+                    max_workers=min(self.n_threads, 16),
+                    thread_name_prefix="tile")
+            for _ in self._tile_pool.map(lambda r: r.run(), runs):
+                pass
+            for tile_idx, r in enumerate(runs):
+                r.materialize()
+                finish_tile(tile_idx, tps[tile_idx])
+        else:
+            for tile_idx in range(n_tiles_f):
+                tr, tc = divmod(tile_idx, n_cols)
                 cdf = in_cdf.copy()
                 data = b"" if coder_factory else tiles[tile_idx]
                 tp = TileParser(f, plan, data, tr, tc, cdf)
                 if coder_factory is not None:
                     tp.msac = coder_factory(tile_idx, cdf)
                 tp.parse_tile()
-                if coder_factory is not None:
-                    self.last_tile_payloads.append(tp.msac.enc.finalize())
-                if fh.refresh_context and \
-                        tile_idx == fh.tiling.update:
-                    out_cdf = in_cdf.copy()
-                    out_cdf.update_from(cdf, key_or_intra=key_or_intra)
-                tile_idx += 1
+                finish_tile(tile_idx, tp)
 
         # temporal mv save for future frames
         rp = None

@@ -292,12 +292,43 @@ _EXPECTED_BLOCK_FIELDS = (
     "lf_lvl", "pal", "pal_idx_y", "pal_idx_uv")
 
 
+class NativeTileRun:
+    """A prepared native tile parse, split in phases so independent
+    tiles can run concurrently (the FFI call releases the GIL; plan
+    materialization is serialized by the caller in tile order —
+    reference thread_task.c runs tiles on its worker pool the same
+    way, src/decode.c:2425-2509)."""
+
+    __slots__ = ("tp", "t", "keep", "blocks_np", "coefs_np", "cf_pool",
+                 "pal_pool", "palidx_pool", "lr_np", "err")
+
+    def run(self):
+        """FFI into native/tileparse.cpp — thread-safe, GIL-released."""
+        self.err = _lib.tile_parse(ct.addressof(self.t))
+
+    def materialize(self):
+        """Write back msac state, check errors, fill the FramePlan.
+        Must be called in tile order (single thread)."""
+        _materialize(self)
+
+
 def parse_tile_native(tp) -> bool:
     """Run the native tile parser for TileParser `tp`; returns True on
     success (plan populated), False if the native path is unavailable."""
-    if _lib is None or type(tp.msac) is not MsacDecoder or tp.dbg:
+    r = prepare_tile_native(tp)
+    if r is None:
         return False
-    from .decode import Block, CoefBlock
+    r.run()
+    r.materialize()
+    return True
+
+
+def prepare_tile_native(tp):
+    """Build the native call context for one tile; returns a
+    NativeTileRun or None when the native path is unavailable."""
+    if _lib is None or type(tp.msac) is not MsacDecoder or tp.dbg:
+        return None
+    from .decode import Block
     assert tuple(f.name for f in dataclasses.fields(Block)) == \
         _EXPECTED_BLOCK_FIELDS, "Block dataclass drifted vs native binding"
 
@@ -311,7 +342,7 @@ def parse_tile_native(tp) -> bool:
     # --- CoefCtx: reuse the per-block binding's fully-populated struct
     nct = tp.coef_native
     if nct is None:
-        return False
+        return None
     t.coef = nct.ctx
     m = tp.msac
     t.coef.msac.buf = ct.cast(ct.c_char_p(nct._buf), ct.c_void_p)
@@ -560,8 +591,32 @@ def parse_tile_native(tp) -> bool:
     t.out_lr = _p(lr_np.reshape(-1), i32p)
     t.max_lr = max_lr
 
-    # --- run
-    err = _lib.tile_parse(ct.addressof(t))
+    r = NativeTileRun()
+    r.tp = tp
+    r.t = t
+    r.keep = keep
+    r.blocks_np = blocks_np
+    r.coefs_np = coefs_np
+    r.cf_pool = cf_pool
+    r.pal_pool = pal_pool
+    r.palidx_pool = palidx_pool
+    r.lr_np = lr_np
+    r.err = None
+    return r
+
+
+def _materialize(run):
+    tp, t = run.tp, run.t
+    blocks_np, coefs_np = run.blocks_np, run.coefs_np
+    cf_pool, pal_pool = run.cf_pool, run.pal_pool
+    palidx_pool = run.palidx_pool
+    lr_np = run.lr_np
+    err = run.err
+    st = _static()
+    from .decode import Block, CoefBlock
+    f = tp.f
+    plan = tp.plan
+    m = tp.msac
     # write back msac state (the Python-side parser/driver may inspect it)
     m.pos = t.coef.msac.pos
     m.dif = t.coef.msac.dif
@@ -640,5 +695,4 @@ def parse_tile_native(tp) -> bool:
             type=typ, filter_v=[fv0, fv1, fv2], filter_h=[fh0, fh1, fh2],
             sgr_weights=[w0, w1])
 
-    del keep
-    return True
+    run.keep = None
