@@ -35,6 +35,20 @@ def _pick_muxer(name, path):
     return name
 
 
+class _NegStrideAllocator:
+    """--negstride: hand out bottom-up views (negative row stride) of
+    caller-owned buffers — the reference tool's allocator-flexibility
+    exercise (tools/dav1d.c --negstride, dav1d_cli_parse.c)."""
+
+    def alloc_picture_data(self, pic):
+        import numpy as np
+        planes = []
+        for shape in pic.plane_shapes():
+            base = np.empty(shape, pic.dtype())
+            planes.append(base[::-1])      # negative-stride view
+        return planes
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="dav1d_tpu")
     p.add_argument("--input", "-i", required=True)
@@ -58,6 +72,16 @@ def main(argv=None):
     p.add_argument("--decodeframetype", type=str, default="all")
     p.add_argument("--threads", type=int, default=0)
     p.add_argument("--framedelay", type=int, default=0)
+    # parity flags (reference tools/dav1d.c):
+    p.add_argument("--cpumask", type=str, default=None,
+                   help="accepted for parity; ISA dispatch is XLA's "
+                        "job on this backend, so the mask is a no-op")
+    p.add_argument("--negstride", action="store_true",
+                   help="decode into bottom-up negative-stride "
+                        "buffers (exercises the custom allocator)")
+    p.add_argument("--realtime", nargs="?", const="decode", default=None,
+                   help="pace output to the stream frame rate; "
+                        "reports late frames")
     args = p.parse_args(argv)
 
     ilf = 7
@@ -83,13 +107,15 @@ def main(argv=None):
 
     apply_grain = args.filmgrain if args.filmgrain is not None \
         else (muxer_name != "md5")
+    allocator = _NegStrideAllocator() if args.negstride else None
     settings = Settings(
         n_threads=args.threads, max_frame_delay=args.framedelay,
         apply_grain=bool(apply_grain), operating_point=args.oppoint,
         all_layers=bool(args.alllayers), frame_size_limit=size_limit,
         strict_std_compliance=bool(args.strict),
         output_invisible_frames=bool(args.outputinvisible),
-        inloop_filters=ilf, decode_frame_type=_DFT[args.decodeframetype])
+        inloop_filters=ilf, decode_frame_type=_DFT[args.decodeframetype],
+        allocator=allocator)
 
     try:
         data = sys.stdin.buffer.read() if args.input == "-" else \
@@ -126,6 +152,12 @@ def main(argv=None):
     seq_skip = 0
     t0 = time.monotonic()
     err = 0
+    n_late = 0
+    fps_target = 0.0
+    if args.realtime is not None:
+        num = getattr(frames, "fps_num", 0)
+        den = getattr(frames, "fps_den", 1) or 1
+        fps_target = (num / den) if num else 25.0
     for fr in frames:
         n_tu += 1
         # --skip drops input packets, then keeps dropping until a
@@ -144,6 +176,15 @@ def main(argv=None):
         try:
             dec.send_data(fr.data)
             for pic in dec.pictures():
+                if args.realtime is not None and fps_target > 0:
+                    # pace to the stream frame rate (reference
+                    # tools/dav1d.c synchronize())
+                    due = t0 + n / fps_target
+                    lag = time.monotonic() - due
+                    if lag < 0:
+                        time.sleep(-lag)
+                    elif n:
+                        n_late += 1
                 mux.write_picture(pic)
                 n += 1
                 if ft_fh is not None:
@@ -192,6 +233,9 @@ def main(argv=None):
         fps = n / dt if dt > 0 else 0.0
         print(f"Decoded {n} frames in {dt:.2f}s ({fps:.2f} fps)",
               file=sys.stderr)
+        if args.realtime is not None:
+            print(f"realtime: {n_late}/{n} frames late of "
+                  f"{fps_target:.2f} fps target", file=sys.stderr)
     return rc
 
 

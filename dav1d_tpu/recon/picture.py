@@ -100,9 +100,10 @@ class Picture:
                 raise ValueError(
                     f"allocator plane {p.shape}/{p.dtype} != {s}/"
                     f"{self.dtype().__name__}")
-            if not p.flags["C_CONTIGUOUS"] or not p.flags["WRITEABLE"]:
-                raise ValueError("allocator planes must be C-contiguous "
-                                 "writable")
+            # any strided layout is fine (e.g. --negstride bottom-up
+            # views); only writability is required
+            if not p.flags["WRITEABLE"]:
+                raise ValueError("allocator planes must be writable")
 
     def release(self) -> None:
         """Return allocator-owned buffers (reference
