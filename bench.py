@@ -29,7 +29,7 @@ sys.path.insert(0, ROOT)
 
 W, H, N_FRAMES, SEED, QIDX = 1920, 1080, 8, 7, 100
 CACHE = f"/tmp/dav1d_tpu_bench_{W}x{H}_flt_{SEED}.ivf"
-DEVICE_BUDGET_S = int(os.environ.get("DAV1D_TPU_BENCH_BUDGET", "2400"))
+DEVICE_BUDGET_S = int(os.environ.get("DAV1D_TPU_BENCH_BUDGET", "1800"))
 
 _CHILD = """
 import json, os, sys, time
@@ -92,11 +92,15 @@ def main():
     res = _run_child(env, DEVICE_BUDGET_S)
 
     if res is None:
-        # device path hung or failed (wedged tunnel): fall back to the
-        # golden host-numpy path (jax never imported) so the bench
-        # reports an honest host number instead of hanging
+        # TPU path hung or failed (wedged tunnel): same device program
+        # on host XLA with the axon plugin bypassed
         env.pop("PYTHONPATH", None)
         env["JAX_PLATFORMS"] = "cpu"
+        env["DAV1D_TPU_DEVICE"] = "cpu"
+        res = _run_child(env, DEVICE_BUDGET_S)
+
+    if res is None:
+        # last resort: the golden host-numpy path (jax never imported)
         env["DAV1D_TPU_BACKEND"] = "numpy"
         res = _run_child(env, DEVICE_BUDGET_S)
 
