@@ -83,12 +83,17 @@ class Decoder:
         self._dec = ObuStreamDecoder(settings=self.settings)
         self._pending: deque = deque()
         self._out: deque = deque()
+        # decode-stat counters (SURVEY §5 observability)
+        self.stats = {"bytes_in": 0, "temporal_units": 0,
+                      "pictures_out": 0, "decode_errors": 0,
+                      "decode_time_s": 0.0}
 
     # -- dav1d_send_data ------------------------------------------------
     def send_data(self, data: bytes, props: DataProps | None = None) -> None:
         if not isinstance(data, (bytes, bytearray, memoryview)):
             raise TypeError("data must be bytes-like")
         if data:
+            self.stats["bytes_in"] += len(data)
             self._pending.append((bytes(data), props))
 
     # -- dav1d_get_picture ----------------------------------------------
@@ -101,9 +106,15 @@ class Decoder:
         while True:
             while self._pending and len(self._out) < depth:
                 chunk, props = self._pending.popleft()
+                self.stats["temporal_units"] += 1
+                import time as _time
+                _t0 = _time.perf_counter()
                 try:
                     results = self._dec.decode_temporal_unit(chunk)
                 except Exception as e:
+                    self.stats["decode_errors"] += 1
+                    self.stats["decode_time_s"] += \
+                        _time.perf_counter() - _t0
                     # error containment (reference thread_task.c:459-469
                     # + lib.c:716-725): poison this temporal unit, keep
                     # ref state consistent, surface the error once, and
@@ -115,6 +126,7 @@ class Decoder:
                     err.__cause__ = e
                     err.props = props
                     raise err
+                self.stats["decode_time_s"] += _time.perf_counter() - _t0
                 for res in results:
                     pic = res[1] if isinstance(res, tuple) else None
                     if pic is not None:
@@ -129,6 +141,7 @@ class Decoder:
                 # referencing the poisoned picture cascade the same way
                 # until a keyframe, exactly like the reference's
                 # abort_frame chain (thread_task.c:459-469)
+                self.stats["decode_errors"] += 1
                 from .utils.log import log
                 self._dec.recover()
                 log(self.settings, f"frame recon error: {e}")
@@ -138,6 +151,7 @@ class Decoder:
                 raise err
             if pic is not None:         # else: pipelined invisible frame
                 pic.props = props or DataProps()
+                self.stats["pictures_out"] += 1
                 return pic
 
     def pictures(self):

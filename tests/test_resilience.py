@@ -206,3 +206,26 @@ def test_logger_false_is_silent(capsys):
     except DecodeError:
         pass
     assert capsys.readouterr().err == ""
+
+
+# ------------------------------------------------------------ stat counters
+
+def test_decode_stats_counters():
+    data, _ = generate_stream(96, 64, n_frames=3, seed=3)
+    payloads = _frames(data)
+    dec = Decoder(Settings(n_threads=1))
+    pics, _ = _md5_of(dec, payloads)
+    s = dec.stats
+    assert s["pictures_out"] == len(pics) == 3
+    assert s["temporal_units"] == len(payloads)
+    assert s["bytes_in"] == sum(len(p) for p in payloads)
+    assert s["decode_errors"] == 0 and s["decode_time_s"] > 0
+    # errors are counted (fresh decoder: inter frame without its refs)
+    dec2 = Decoder(Settings(n_threads=1))
+    try:
+        dec2.send_data(payloads[1])
+        while dec2.get_picture() is not None:
+            pass
+    except DecodeError:
+        pass
+    assert dec2.stats["decode_errors"] >= 1
