@@ -172,7 +172,8 @@ def write_seq_hdr(width: int, height: int, *, sb128=0, filter_intra=1,
                   order_hint=0, screen_content=0, monochrome=0,
                   inter_intra=0, masked_compound=0, warped_motion=0,
                   dual_filter=0, jnt_comp=0, ref_frame_mvs=0,
-                  film_grain=0, super_res=0, layout=1) -> bytes:
+                  film_grain=0, super_res=0, layout=1,
+                  operating_points=None) -> bytes:
     """Sequence header matching parse_seq_hdr field order (reference
     obu.c:72-300). layout: 0=I400(monochrome) 1=I420 2=I422 3=I444;
     hbd: 0=8-bit 1=10-bit 2=12-bit. The profile is derived:
@@ -191,10 +192,15 @@ def write_seq_hdr(width: int, height: int, *, sb128=0, filter_intra=1,
     pb.put_bit(0)            # reduced_still_picture_header
     pb.put_bit(0)            # timing_info_present
     pb.put_bit(0)            # display_model_info_present
-    pb.put_bits(0, 5)        # num_operating_points - 1
-    pb.put_bits(0, 12)       # op[0].idc
-    pb.put_bits(0, 3)        # major_level - 2 (level 2.0)
-    pb.put_bits(0, 2)        # minor_level
+    # operating points (SVC layer filtering, reference obu.c:1203-1210):
+    # each entry is a 12-bit idc — bits 0-7 temporal-layer mask,
+    # bits 8-11 spatial-layer mask; idc 0 = "applies to all"
+    ops = operating_points or [0]
+    pb.put_bits(len(ops) - 1, 5)   # num_operating_points - 1
+    for idc in ops:
+        pb.put_bits(idc, 12)       # op[i].idc
+        pb.put_bits(0, 3)          # major_level - 2 (level 2.0)
+        pb.put_bits(0, 2)          # minor_level
     # no tier (major_level <= 3), no decoder/display model params
     pb.put_bits(15, 4)       # width_n_bits - 1 = 16 bits
     pb.put_bits(15, 4)       # height_n_bits - 1
@@ -901,7 +907,8 @@ def generate_stream(width, height, *, n_frames=4, qidx=100, seed=0,
                     film_grain=None, screen_content=0, segmentation=None,
                     seg_update_map=1, seg_temporal=0, seg_update_data=1,
                     superres_denom=None, frame_size_fn=None, layout=1,
-                    monochrome=0):
+                    monochrome=0, temporal_ids=None,
+                    operating_points=None):
     """Key frame + (n_frames-1) inter frames, generated by driving OUR
     decoder's own frame pipeline with a GenCoder (so generator ref/CDF
     state == decoder state by construction).
@@ -922,6 +929,7 @@ def generate_stream(width, height, *, n_frames=4, qidx=100, seed=0,
         dual_filter=dual_filter, filter_intra=filter_intra, hbd=hbd,
         cdef=1 if cdef_params else 0,
         restoration=1 if any(lr_types) else 0,
+        operating_points=operating_points,
         film_grain=1 if film_grain else 0,
         screen_content=screen_content,
         super_res=1 if superres_denom else 0,
@@ -1030,9 +1038,12 @@ def generate_stream(width, height, *, n_frames=4, qidx=100, seed=0,
                 body += (len(pay) - 1).to_bytes(4, "little") + pay
             else:
                 body += pay
+        tid = temporal_ids[fi] if temporal_ids else 0
         frame_data = (seq_obu if fi == 0 else b"") + \
-            wrap_obu(ObuType.FRAME_HDR, fh_payload) + \
-            wrap_obu(ObuType.TILE_GRP, body)
+            wrap_obu(ObuType.FRAME_HDR, fh_payload,
+                     has_extension=tid > 0, temporal_id=tid) + \
+            wrap_obu(ObuType.TILE_GRP, body,
+                     has_extension=tid > 0, temporal_id=tid)
         w.write_frame(frame_data)
     w.finalize()
     return out.getvalue(), results
