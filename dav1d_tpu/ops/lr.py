@@ -318,14 +318,12 @@ def lr_planes_device(planes, pre_cdef, plan, bd):
                     # extend to hmax+6 rows with the reference row clamp
                     # (rows -3..hmax+2 -> clip(r, -2, h+1) for SGR; the
                     # replicated tail is harmless for Wiener)
-                    ext_r = np.zeros(hmax + 6, np.int64)
-                    ext_p = np.zeros(hmax + 6, bool)
-                    for rr in range(-3, hmax + 3):
-                        src_r = 3 + min(max(rr, -2), sh_ + 1) \
-                            if kind == "sgr" else min(3 + rr, sh_ + 5)
-                        ext_r[3 + rr] = r[src_r]
-                        ext_p[3 + rr] = p[src_r]
-                    rowt[i] = ext_r + np.where(ext_p, Hp, 0)
+                    rr = np.arange(-3, hmax + 3)
+                    if kind == "sgr":
+                        src_r = 3 + np.clip(rr, -2, sh_ + 1)
+                    else:
+                        src_r = np.minimum(3 + rr, sh_ + 5)
+                    rowt[i] = r[src_r] + np.where(p[src_r], Hp, 0)
                     c = _col_table(x, uw, e, Wp)
                     ext_c = np.full(wmax + 2 * PAD, c[-1], np.int64)
                     ext_c[:len(c)] = c
