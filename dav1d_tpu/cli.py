@@ -13,7 +13,8 @@ import time
 
 from .api import Decoder, Settings
 from .bitstream.demux import open_input
-from .utils.muxers import Md5Muxer, NullMuxer, Y4mMuxer, YuvMuxer
+from .utils.muxers import (Md5Muxer, NullMuxer, Xxh3Muxer, Y4mMuxer,
+                           YuvMuxer)
 
 _ILF = {"none": 0, "deblock": 1, "nodeblock": 6, "cdef": 2, "nocdef": 5,
         "restoration": 4, "norestoration": 3, "all": 7}
@@ -54,7 +55,8 @@ def main(argv=None):
     p.add_argument("--input", "-i", required=True)
     p.add_argument("--output", "-o", default=None)
     p.add_argument("--demuxer", choices=["ivf", "annexb", "section5"])
-    p.add_argument("--muxer", choices=["md5", "yuv", "yuv4mpeg2", "null"])
+    p.add_argument("--muxer",
+                   choices=["md5", "xxh3", "yuv", "yuv4mpeg2", "null"])
     p.add_argument("--quiet", "-q", action="store_true")
     p.add_argument("--frametimes", type=str, default=None,
                    help="dump per-frame decode times (ns) to file")
@@ -134,6 +136,8 @@ def main(argv=None):
     out_fh = None
     if muxer_name == "md5":
         mux = Md5Muxer()
+    elif muxer_name == "xxh3":
+        mux = Xxh3Muxer()
     elif muxer_name == "null":
         mux = NullMuxer()
     else:
@@ -212,7 +216,7 @@ def main(argv=None):
     dt = time.monotonic() - t0
 
     rc = err
-    if muxer_name == "md5":
+    if muxer_name in ("md5", "xxh3"):
         digest = mux.digest()
         if args.verify is not None:
             if not mux.verify(args.verify):

@@ -48,6 +48,17 @@ class Md5Muxer:
         return self.digest() == expected.strip().lower()
 
 
+class Xxh3Muxer(Md5Muxer):
+    """XXH3-128 over the same byte stream as the md5 muxer (reference
+    tools/output/xxhash.c:84-116: one stream-level hash, visible rows
+    Y/U/V, canonical big-endian hex)."""
+
+    def __init__(self, fh=None):
+        import xxhash
+        self._md5 = xxhash.xxh3_128()   # reuse Md5Muxer's plane walk
+        self.fh = fh
+
+
 class YuvMuxer:
     def __init__(self, fh):
         self.fh = fh
