@@ -112,3 +112,45 @@ class Picture:
                 hasattr(self.allocator, "release_picture_data"):
             self.allocator.release_picture_data(self)
         self.planes = []
+
+
+class PicturePool:
+    """Recycling picture allocator (the reference's internal buffer
+    pool, src/mem.c dav1d_mem_pool + picture.c pooled path): released
+    picture buffers are reused for later pictures of the same geometry
+    instead of reallocated. Install via Settings(allocator=PicturePool()).
+    Thread-safe; an optional max_size bounds retained buffer sets."""
+
+    def __init__(self, max_size: int = 16):
+        import threading
+        self._free = {}          # (shape-tuple, dtype) -> [plane lists]
+        self._lock = threading.Lock()
+        self.max_size = max_size
+        self.hits = 0
+        self.misses = 0
+
+    def _key(self, pic):
+        return (tuple(pic.plane_shapes()), pic.dtype().__name__)
+
+    def alloc_picture_data(self, pic):
+        key = self._key(pic)
+        with self._lock:
+            bucket = self._free.get(key)
+            if bucket:
+                self.hits += 1
+                planes = bucket.pop()
+                pic.allocator_data = key
+                return planes
+            self.misses += 1
+        planes = [np.empty(s, pic.dtype()) for s in pic.plane_shapes()]
+        pic.allocator_data = key
+        return planes
+
+    def release_picture_data(self, pic):
+        key = pic.allocator_data
+        if key is None or not pic.planes:
+            return
+        with self._lock:
+            bucket = self._free.setdefault(key, [])
+            if sum(len(b) for b in self._free.values()) < self.max_size:
+                bucket.append(list(pic.planes))

@@ -229,3 +229,20 @@ def test_decode_stats_counters():
     except DecodeError:
         pass
     assert dec2.stats["decode_errors"] >= 1
+
+
+def test_picture_pool_recycles():
+    from dav1d_tpu.recon.picture import PicturePool
+    data, _ = generate_stream(96, 64, n_frames=4, seed=11)
+    _, md5_ref = _md5_of(Decoder(Settings(n_threads=1)), _frames(data))
+    pool = PicturePool()
+    dec = Decoder(Settings(n_threads=1, allocator=pool))
+    pics, md5 = _md5_of(dec, _frames(data))
+    assert md5 == md5_ref
+    for p in pics:                       # caller returns buffers
+        p.release()
+    assert pool.misses > 0
+    # decoding again now reuses the released buffer sets
+    dec2 = Decoder(Settings(n_threads=1, allocator=pool))
+    _, md5b = _md5_of(dec2, _frames(data))
+    assert md5b == md5_ref and pool.hits > 0
