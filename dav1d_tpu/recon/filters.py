@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..ops.backend import device_scope, jax_mod
+from ..utils import timing
 
 
 def run_filter_chain_device(pic, plan, inloop_filters):
@@ -38,18 +39,34 @@ def run_filter_chain_device(pic, plan, inloop_filters):
     if not (do_deblock or do_cdef or do_sr or do_lr):
         return pic
 
+    import os as _os
+    _sync = None
+    if timing.ENABLED and _os.environ.get("DAV1D_TPU_TIMING_SYNC"):
+        import jax as _jax
+        _sync = _jax.block_until_ready
+
     with device_scope():
-        planes = [jnp.asarray(np.asarray(p, np.int32)) for p in pic.planes]
+        with timing.phase("filters.upload"):
+            planes = [jnp.asarray(np.asarray(p, np.int32))
+                      for p in pic.planes]
+            if _sync:
+                _sync(planes)
 
         if do_deblock:
             from ..ops.lf import deblock_planes_device
-            planes = deblock_planes_device(planes, plan, pic.bpc)
+            with timing.phase("filters.deblock"):
+                planes = deblock_planes_device(planes, plan, pic.bpc)
+                if _sync:
+                    _sync(planes)
 
         pre_cdef = planes if do_lr else None   # post-deblock lpf snapshot
 
         if do_cdef:
             from ..ops.cdef import cdef_planes_device
-            planes = cdef_planes_device(planes, plan, pic.bpc)
+            with timing.phase("filters.cdef"):
+                planes = cdef_planes_device(planes, plan, pic.bpc)
+                if _sync:
+                    _sync(planes)
 
         if do_sr:
             from ..ops.superres import (_resize_tables, _resize_fn,
@@ -91,13 +108,17 @@ def run_filter_chain_device(pic, plan, inloop_filters):
 
         if do_lr:
             from ..ops.lr import lr_planes_device
-            planes = lr_planes_device(planes, pre_cdef, plan, pic.bpc)
+            with timing.phase("filters.lr"):
+                planes = lr_planes_device(planes, pre_cdef, plan, pic.bpc)
+                if _sync:
+                    _sync(planes)
 
         from ..ops.backend import fetch_all
         # cast on device (4x fewer bytes over the tunnel), then overlap
         # the per-plane transfers
-        casts = [pl.astype(hp.dtype)
-                 for hp, pl in zip(out_pic.planes, planes)]
-        for hp, a in zip(out_pic.planes, fetch_all(casts)):
-            hp[:] = a
+        with timing.phase("filters.fetch"):
+            casts = [pl.astype(hp.dtype)
+                     for hp, pl in zip(out_pic.planes, planes)]
+            for hp, a in zip(out_pic.planes, fetch_all(casts)):
+                hp[:] = a
     return out_pic

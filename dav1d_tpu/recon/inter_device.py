@@ -29,6 +29,7 @@ from ..entropy import levels as lv
 from ..ops import itx_ref, mc_ref
 from ..ops.backend import device_scope, jax_mod
 from ..ops import mc as mcdev
+from ..utils import timing
 from .inter_ref import (InterReconstructor, COMP_INTER_NONE,
                         COMP_INTER_AVG, COMP_INTER_WEIGHTED_AVG,
                         COMP_INTER_SEG, COMP_INTER_WEDGE)
@@ -224,6 +225,8 @@ class DeviceInterReconstructor(InterReconstructor):
                     return i
             raise AssertionError
 
+        t_walk = timing.phase("inter.walk")
+        t_walk.__enter__()
         for b in self.plan.blocks:
             bounds = tiles[tile_of(b)]
             if b.intra or b.interintra_type:
@@ -244,12 +247,14 @@ class DeviceInterReconstructor(InterReconstructor):
                 self._recon_b_inter(b, *bounds)
             finally:
                 self.collecting = False
+        t_walk.__exit__(None, None, None)
 
         self._execute()
 
         # leftovers: golden sequential recon in decode order
-        for b, bounds in self.leftovers:
-            self._recon_block(b, *bounds)
+        with timing.phase("inter.leftovers"):
+            for b, bounds in self.leftovers:
+                self._recon_block(b, *bounds)
         for cb in self.res_fixups:
             t_dim = lv.TXFM_INFO[cb.tx]
             plane = self.pic.planes[cb.plane]
@@ -353,9 +358,16 @@ class DeviceInterReconstructor(InterReconstructor):
         OOB = self._OOB
         fb = mcdev.filter_banks()
         from ..ops.backend import fetch_all
+        import os as _os
+        _sync = (lambda x: jax.block_until_ready(x)) if timing.ENABLED and \
+            _os.environ.get("DAV1D_TPU_TIMING_SYNC") else (lambda x: x)
         with device_scope():
-            stacks = self._build_refstacks(jnp)
-            planes = [jnp.asarray(p) for p in self.pic.planes]
+            with timing.phase("inter.upload_refs"):
+                stacks = self._build_refstacks(jnp)
+                _sync([s[0] for s in stacks.values()])
+            with timing.phase("inter.upload_planes"):
+                planes = [jnp.asarray(p) for p in self.pic.planes]
+                _sync(planes)
 
             def ivec(vals, np2, n, fill=0):
                 a = np.full(np2, fill, np.int32)
@@ -376,6 +388,8 @@ class DeviceInterReconstructor(InterReconstructor):
                 return fh, fv, amx, amy
 
             # ---- pass A: single-ref puts (one launch per plane/class) ---
+            t_pass = timing.phase("inter.passA")
+            t_pass.__enter__()
             for (pi, _cls), items in self._regroup(self.put8).items():
                 H, W = self._pad_hw(items)
                 np2 = self._padn(len(items))
@@ -435,9 +449,14 @@ class DeviceInterReconstructor(InterReconstructor):
                 planes[pi] = fn(REF, rows, cols, slot, mx, my, al, be,
                                 ga, de, planes[pi], drows, dcols)
 
+            _sync(planes)
+            t_pass.__exit__(None, None, None)
+
             # ---- pass B: compounds (luma first; the seg sub-masks of
             # ALL luma groups are fetched in one overlapped transfer
             # before the chroma groups run) ---------------------------
+            t_pass = timing.phase("inter.passB_comp")
+            t_pass.__enter__()
             comp_groups = self._regroup(self.comp)
             seg_results = {}
             seg_pending = []    # ([(i, job_id, hs, ws)], device batch)
@@ -460,7 +479,12 @@ class DeviceInterReconstructor(InterReconstructor):
                     pi, items, stacks, planes[pi], seg_results, bd,
                     None)
 
+            _sync(planes)
+            t_pass.__exit__(None, None, None)
+
             # ---- pass C: OBMC blends (top, then left) -------------------
+            t_pass = timing.phase("inter.passC_obmc")
+            t_pass.__enter__()
             for top in (True, False):
                 for key, jobs in self.obmc_jobs.items():
                     if key[0] != top:
@@ -501,7 +525,12 @@ class DeviceInterReconstructor(InterReconstructor):
                     planes[pi] = fn(REF, rows, cols, slot, fh, fv,
                                     planes[pi], drows, dcols)
 
+            _sync(planes)
+            t_pass.__exit__(None, None, None)
+
             # ---- pass D: residuals (one launch per plane/class) ---------
+            t_pass = timing.phase("inter.passD_residual")
+            t_pass.__enter__()
             for (pi, _cls), items in self._regroup(self.res_jobs).items():
                 H, W = self._pad_hw(items)
                 np2 = self._padn(len(items))
@@ -512,12 +541,16 @@ class DeviceInterReconstructor(InterReconstructor):
                 fn = mcdev._residual_scatter_fn(np2, H, W, bd)
                 planes[pi] = fn(planes[pi], drows, dcols, res)
 
+            _sync(planes)
+            t_pass.__exit__(None, None, None)
+
             # cast on device (4x fewer bytes over the tunnel), then
             # overlap the per-plane transfers
-            casts = [pl.astype(hp.dtype)
-                     for hp, pl in zip(self.pic.planes, planes)]
-            for hp, a in zip(self.pic.planes, fetch_all(casts)):
-                hp[:] = a
+            with timing.phase("inter.fetch"):
+                casts = [pl.astype(hp.dtype)
+                         for hp, pl in zip(self.pic.planes, planes)]
+                for hp, a in zip(self.pic.planes, fetch_all(casts)):
+                    hp[:] = a
 
     def _run_comp_group(self, pi, items, stacks, plane, seg_results, bd,
                         seg_pending=None):
@@ -590,5 +623,6 @@ class DeviceInterReconstructor(InterReconstructor):
 
 def reconstruct_inter_frame_device(plan, refp):
     r = DeviceInterReconstructor(plan, refp)
-    itx_ref.precompute_residuals(plan.coefs, r.bitdepth)
+    with timing.phase("inter.itx_residuals"):
+        itx_ref.precompute_residuals(plan.coefs, r.bitdepth)
     return r.run()

@@ -124,30 +124,7 @@ static inline int bitlen(uint64_t v) {
 }  // namespace
 
 // ---- output record layouts (must match entropy/native_tile.py) ------------
-enum BlockField {
-    BF_BX, BF_BY, BF_BS, BF_BL, BF_BP, BF_INTRA, BF_SKIP, BF_SEG_ID,
-    BF_Y_MODE, BF_Y_ANGLE, BF_UV_MODE, BF_UV_ANGLE, BF_CFL0, BF_CFL1,
-    BF_PAL_SZ0, BF_PAL_SZ1, BF_TX, BF_UVTX, BF_EDGE_FLAGS, BF_HAS_CHROMA,
-    BF_SM_FL, BF_SM_UV_FL, BF_REF0, BF_REF1, BF_MV00, BF_MV01, BF_MV10,
-    BF_MV11, BF_INTER_MODE, BF_DRL_IDX, BF_COMP_TYPE, BF_SKIP_MODE,
-    BF_INTERINTRA_TYPE, BF_INTERINTRA_MODE, BF_WEDGE_IDX, BF_MASK_SIGN,
-    BF_MOTION_MODE, BF_FILTER0, BF_FILTER1, BF_FILTER2D, BF_MAX_YTX,
-    BF_TX_SPLIT0, BF_TX_SPLIT1, BF_COEF_START, BF_COEF_END,
-    BF_LF_HAS, BF_LF0, BF_LF1, BF_LF2, BF_LF3,
-    BF_WARP_VALID, BF_WMAT0, BF_WMAT1, BF_WMAT2, BF_WMAT3, BF_WMAT4,
-    BF_WMAT5, BF_ALPHA, BF_BETA, BF_GAMMA, BF_DELTA, BF_WARP_TYPE,
-    BF_PAL_IDX, BF_PALIDX_Y_OFF, BF_PALIDX_UV_OFF,
-    BF_N_FIELDS
-};
-
-enum CoefField {
-    CF_PLANE, CF_X4, CF_Y4, CF_TX, CF_TXTP, CF_EOB, CF_OFF, CF_N_FIELDS
-};
-
-enum LrField {
-    LR_PLANE, LR_ROW, LR_X64, LR_TYPE, LR_FV0, LR_FV1, LR_FV2,
-    LR_FH0, LR_FH1, LR_FH2, LR_W0, LR_W1, LR_N_FIELDS
-};
+#include "blockrec.h"
 
 // ---- mode CDFs -------------------------------------------------------------
 struct ModeCdfs {
