@@ -180,6 +180,9 @@ class FramePlan:
     b4_filter: np.ndarray = None    # (2, bh, bw) h/v filter per 4x4
     cdef_idx: np.ndarray = None     # per 64x64
     lr_units: list = None           # [plane][y64][x64] -> unit dict
+    # native Stage-A record views per tile (blocks/coefs/pools), kept so
+    # native Stage-B consumers (itx, intra recon) skip the Python objects
+    native_tiles: list = field(default_factory=list)
 
     def __post_init__(self):
         f = self.f

@@ -168,18 +168,36 @@ def inv_txfm_add(dst: np.ndarray, cf: np.ndarray, eob: int, tx: int,
     dst[:] = np.clip(dst.astype(I64) + ((res + 8) >> 4), 0, bd_max)
 
 
-def precompute_residuals(coefs, bitdepth: int) -> None:
+def precompute_residuals_plan(plan, bitdepth: int) -> None:
+    """Residual pass for a whole frame, preferring the native C++
+    engine (ops/itx_native.py over native/itxnat.cpp) which consumes
+    the Stage-A record pools directly. DAV1D_TPU_ITX selects the
+    backend: native (default) / device (batched XLA) / numpy (golden).
+    Falls back down the chain when a backend is unavailable."""
+    import os
+    mode = os.environ.get("DAV1D_TPU_ITX", "native")
+    if mode not in ("device", "numpy"):
+        from . import itx_native
+        if itx_native.available() and \
+                itx_native.precompute_native(plan, bitdepth):
+            return
+    precompute_residuals(plan.coefs, bitdepth,
+                         force_numpy=(mode == "numpy"))
+
+
+def precompute_residuals(coefs, bitdepth: int,
+                         force_numpy: bool = False) -> None:
     """Batch pass over a frame's CoefBlock list: group by (tx, txtp)
     and run the 2-pass transforms with the block index folded into the
     batch dimension (SURVEY §7 stage-B batching; bit-exact because the
     1-D kernels map zero rows to zero rows). Stores (h, w) pre-shift
     residuals in cb.res; dc-only and WHT blocks keep the scalar path.
 
-    The device backend (default) routes every bucket through the jitted
+    The device backend routes every bucket through the jitted
     TPU kernels (ops/itx.py); DAV1D_TPU_BACKEND=numpy forces the numpy
     host path."""
     from .backend import device_enabled
-    if device_enabled():
+    if device_enabled() and not force_numpy:
         from .itx import compute_frame_residuals
         res = compute_frame_residuals(coefs, bitdepth)
         for cb in coefs:

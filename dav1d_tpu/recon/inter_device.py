@@ -624,5 +624,5 @@ class DeviceInterReconstructor(InterReconstructor):
 def reconstruct_inter_frame_device(plan, refp):
     r = DeviceInterReconstructor(plan, refp)
     with timing.phase("inter.itx_residuals"):
-        itx_ref.precompute_residuals(plan.coefs, r.bitdepth)
+        itx_ref.precompute_residuals_plan(plan, r.bitdepth)
     return r.run()

@@ -614,5 +614,5 @@ class InterReconstructor(IntraReconstructor):
 
 def reconstruct_inter_frame(plan, refp):
     r = InterReconstructor(plan, refp)
-    itx_ref.precompute_residuals(plan.coefs, r.bitdepth)
+    itx_ref.precompute_residuals_plan(plan, r.bitdepth)
     return r.run()

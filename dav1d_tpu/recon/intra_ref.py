@@ -326,5 +326,5 @@ class IntraReconstructor:
 
 def reconstruct_intra_frame(plan: FramePlan) -> Picture:
     r = IntraReconstructor(plan)
-    itx_ref.precompute_residuals(plan.coefs, r.bitdepth)
+    itx_ref.precompute_residuals_plan(plan, r.bitdepth)
     return r.run()
