@@ -296,13 +296,21 @@ class DeviceInterReconstructor(InterReconstructor):
 
     @staticmethod
     def _padn(n):
-        return 1 << max(2, (n - 1).bit_length())
+        return 1 << max(4, (n - 1).bit_length())
 
-    # two size classes bound the padding waste of the merged passes:
-    # small blocks (<=16) don't get padded to the frame's largest block
+    # canonical size classes: every group pads to a FIXED (cls, cls)
+    # window so the set of compiled programs is finite and saturates
+    # after a few frames (per-frame max-dims made every frame compile
+    # new shapes; on the tunnel-attached TPU compiles dwarf the padded
+    # compute, which runs on otherwise idle VPU lanes)
     @staticmethod
     def _size_class(h, w):
-        return 0 if max(h, w) <= 16 else 1
+        m = max(h, w)
+        if m <= 16:
+            return 16
+        if m <= 32:
+            return 32
+        return 128 if m > 64 else 64
 
     def _regroup(self, buckets):
         """{(pi, h, w): jobs} -> {(pi, cls): [(h, w, job), ...]}."""
@@ -315,9 +323,10 @@ class DeviceInterReconstructor(InterReconstructor):
 
     @staticmethod
     def _pad_hw(items):
-        """Canonical padded (H, W) of a group (block dims are powers of
-        two, so the max is already the padded size)."""
-        return (max(h for h, _, _ in items), max(w for _, w, _ in items))
+        """Canonical padded (H, W) of a group = its size class."""
+        cls = DeviceInterReconstructor._size_class(
+            max(h for h, _, _ in items), max(w for _, w, _ in items))
+        return (cls, cls)
 
     _OOB = 1 << 20          # scatter sentinel: dropped by mode="drop"
 
@@ -327,25 +336,33 @@ class DeviceInterReconstructor(InterReconstructor):
         OOB = self._OOB
         drows = np.full((np2, H), OOB, np.int32)
         dcols = np.full((np2, W), OOB, np.int32)
-        for i, (h, w, j) in enumerate(items):
-            drows[i, :h] = j[0] + np.arange(h, dtype=np.int32)
-            dcols[i, :w] = j[1] + np.arange(w, dtype=np.int32)
+        hs = np.fromiter((h for h, _, _ in items), np.int32, n)
+        ws = np.fromiter((w for _, w, _ in items), np.int32, n)
+        py = np.fromiter((j[0] for _, _, j in items), np.int32, n)
+        px = np.fromiter((j[1] for _, _, j in items), np.int32, n)
+        ar_h = np.arange(H, dtype=np.int32)
+        ar_w = np.arange(W, dtype=np.int32)
+        drows[:n] = np.where(ar_h[None, :] < hs[:, None],
+                             py[:, None] + ar_h[None, :], OOB)
+        dcols[:n] = np.where(ar_w[None, :] < ws[:, None],
+                             px[:, None] + ar_w[None, :], OOB)
         return drows, dcols
 
     def _gather_tables(self, pi, items, np2, H, W, off, dyi, dxi):
-        """Clamped source gather ids rows (np2, H+7+1?), cols — the
-        window is (H+off*2+1? ) — for 8-tap off=3 window H+7; bilin
-        off=0 window H+1."""
+        """Clamped source gather ids; window is H+7 for 8-tap (off=3),
+        H+1 for bilinear (off=0)."""
+        n = len(items)
         rh, rw = self._ref_bounds(int(bool(pi)))
         win_h = H + (7 if off == 3 else 1)
         win_w = W + (7 if off == 3 else 1)
         rows = np.zeros((np2, win_h), np.int32)
         cols = np.zeros((np2, win_w), np.int32)
-        ar_h = np.arange(win_h, dtype=np.int32)
-        ar_w = np.arange(win_w, dtype=np.int32)
-        for i, (h, w, j) in enumerate(items):
-            rows[i] = np.clip(j[dyi] - off + ar_h, 0, rh - 1)
-            cols[i] = np.clip(j[dxi] - off + ar_w, 0, rw - 1)
+        dy = np.fromiter((j[dyi] for _, _, j in items), np.int32, n)
+        dx = np.fromiter((j[dxi] for _, _, j in items), np.int32, n)
+        rows[:n] = np.clip(dy[:, None] - off +
+                           np.arange(win_h, dtype=np.int32), 0, rh - 1)
+        cols[:n] = np.clip(dx[:, None] - off +
+                           np.arange(win_w, dtype=np.int32), 0, rw - 1)
         return rows, cols
 
     def _execute(self):
@@ -578,9 +595,10 @@ class DeviceInterReconstructor(InterReconstructor):
             srcs = [j[2][si] for _, _, j in items]
             rows = np.zeros((np2, H + 7), np.int32)
             cols = np.zeros((np2, W + 7), np.int32)
-            for i, s in enumerate(srcs):
-                rows[i] = np.clip(s[2] - 3 + ar_h, 0, rh - 1)
-                cols[i] = np.clip(s[3] - 3 + ar_w, 0, rw - 1)
+            dy = np.fromiter((s[2] for s in srcs), np.int32, n)
+            dx = np.fromiter((s[3] for s in srcs), np.int32, n)
+            rows[:n] = np.clip(dy[:, None] - 3 + ar_h[None, :], 0, rh - 1)
+            cols[:n] = np.clip(dx[:, None] - 3 + ar_w[None, :], 0, rw - 1)
             amx = colv(s[4] for s in srcs)
             amy = colv(s[5] for s in srcs)
             ft = colv(s[6] for s in srcs)
