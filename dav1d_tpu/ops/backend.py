@@ -90,6 +90,19 @@ def fetch_all(arrs):
     return list(_FETCH_POOL.map(np.asarray, arrs))
 
 
+def fetch_pic_host(pic):
+    """Materialize a device-resident picture (Picture.dev) back into
+    its host planes: cast down on device (fewer tunnel bytes), then
+    overlapped per-plane transfers."""
+    if getattr(pic, "dev", None) is None or not pic.host_stale:
+        pic.host_stale = False
+        return
+    casts = [d.astype(hp.dtype) for hp, d in zip(pic.planes, pic.dev)]
+    for hp, a in zip(pic.planes, fetch_all(casts)):
+        hp[:] = a
+    pic.host_stale = False
+
+
 class device_scope:
     """Context manager: run jax ops on the configured device."""
 

@@ -244,12 +244,20 @@ def apply_film_grain_device(pic, fh, seq):
     off = _block_offsets(fgd, n_rows, n_bx)
     overlap = bool(fgd.overlap_flag)
 
+    # device-resident source planes (Picture.dev) skip the upload
+    devp = getattr(pic, "dev", None)
+
+    def _src(pl_idx, hh, ww):
+        if devp is not None:
+            return devp[pl_idx][:hh, :ww]
+        return np.asarray(pic.planes[pl_idx][:hh, :ww], np.int32)
+
     with device_scope():
         if fgd.num_y_points:
             maps = _lut_index_maps(off, h, w, 0, 0, *luts[0].shape)
             fn = _fgy_fn(h, w, bd, fgd.scaling_shift, overlap,
                          bool(fgd.clip_to_restricted_range))
-            res = fn(np.asarray(pic.planes[0][:h, :w], np.int32),
+            res = fn(_src(0, h, w),
                      luts[0].astype(np.int32),
                      scalings[0].astype(np.int32), *maps)
             out.planes[0][:h, :w] = np.asarray(res).astype(
@@ -274,11 +282,8 @@ def apply_film_grain_device(pic, fh, seq):
                               int(fgd.uv_luma_mult[pl]),
                               int(fgd.uv_mult[pl]),
                               int(fgd.uv_offset[pl]))
-                res = fn(np.asarray(pic.planes[1 + pl][:chh, :cw],
-                                    np.int32),
-                         np.asarray(pic.planes[0][:chh << ss_y,
-                                                  :(cw << ss_x) + ss_x],
-                                    np.int32),
+                res = fn(_src(1 + pl, chh, cw),
+                         _src(0, chh << ss_y, (cw << ss_x) + ss_x),
                          luts[1 + pl].astype(np.int32),
                          sc.astype(np.int32), *maps)
                 out.planes[1 + pl][:chh, :cw] = np.asarray(res).astype(

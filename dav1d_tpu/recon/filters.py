@@ -37,6 +37,10 @@ def run_filter_chain_device(pic, plan, inloop_filters):
         any(t != 0 for t in fh.restoration.type)
 
     if not (do_deblock or do_cdef or do_sr or do_lr):
+        if getattr(pic, "host_stale", False):
+            from ..ops.backend import fetch_pic_host
+            with timing.phase("filters.fetch"):
+                fetch_pic_host(pic)
         return pic
 
     import os as _os
@@ -47,8 +51,13 @@ def run_filter_chain_device(pic, plan, inloop_filters):
 
     with device_scope():
         with timing.phase("filters.upload"):
-            planes = [jnp.asarray(np.asarray(p, np.int32))
-                      for p in pic.planes]
+            if getattr(pic, "dev", None) is not None:
+                # recon left the planes device-resident: zero traffic
+                planes = list(pic.dev)
+            else:
+                # native dtype over the tunnel, widen on device
+                planes = [jnp.asarray(np.asarray(p)).astype(jnp.int32)
+                          for p in pic.planes]
             if _sync:
                 _sync(planes)
 
@@ -115,10 +124,16 @@ def run_filter_chain_device(pic, plan, inloop_filters):
 
         from ..ops.backend import fetch_all
         # cast on device (4x fewer bytes over the tunnel), then overlap
-        # the per-plane transfers
+        # the per-plane transfers; the final planes also stay attached
+        # as the device-resident cache so later frames reference them
+        # with zero upload traffic
         with timing.phase("filters.fetch"):
             casts = [pl.astype(hp.dtype)
                      for hp, pl in zip(out_pic.planes, planes)]
             for hp, a in zip(out_pic.planes, fetch_all(casts)):
                 hp[:] = a
+        out_pic.dev = planes
+        out_pic.host_stale = False
+        if out_pic is not pic:
+            pic.dev = None      # pre-super-res picture is dropped
     return out_pic

@@ -54,6 +54,7 @@ class DeviceInterReconstructor(InterReconstructor):
         self.res_fixups = []  # residuals without precomputed res
         self.leftovers = []
         self._comp_seq = 0
+        self.had_eager = False   # a _RetryEager replay wrote host pixels
 
     # -- bucket helpers --------------------------------------------------
     def _snapshot(self):
@@ -229,11 +230,13 @@ class DeviceInterReconstructor(InterReconstructor):
         t_walk.__enter__()
         for b in self.plan.blocks:
             bounds = tiles[tile_of(b)]
+            self._quad_tl_restore(b)
             if b.intra or b.interintra_type:
                 if b.interintra_type and b.comp_type == COMP_INTER_NONE:
                     # keep the tl filter state the golden walk would have
                     self.tl_4x4_filter = b.filter2d
                 self.leftovers.append((b, bounds))
+                self._quad_tl_save(b)
                 continue
             snap = self._snapshot()
             tl = self.tl_4x4_filter
@@ -244,9 +247,11 @@ class DeviceInterReconstructor(InterReconstructor):
                 self._rollback(snap)
                 self.tl_4x4_filter = tl
                 self.collecting = False
+                self.had_eager = True
                 self._recon_b_inter(b, *bounds)
             finally:
                 self.collecting = False
+            self._quad_tl_save(b)
         t_walk.__exit__(None, None, None)
 
         self._execute()
@@ -273,7 +278,11 @@ class DeviceInterReconstructor(InterReconstructor):
                 (f.frame_hdr.width[0] + ss_hor) >> ss_hor)
 
     def _build_refstacks(self, jnp):
-        """One (R, H, W) device stack per plane index; refidx -> slot."""
+        """One (R, H, W) int32 device stack per plane index;
+        refidx -> slot. Reference planes that are still device-resident
+        from their own decode (Picture.dev) stack with zero
+        host->device traffic; refs without a cache upload once in their
+        native dtype (4x fewer tunnel bytes) and widen on device."""
         stacks = {}
         for plane_idx in range(len(self.pic.planes)):
             arrs = []
@@ -287,11 +296,16 @@ class DeviceInterReconstructor(InterReconstructor):
                 key = id(p)
                 if key not in ids:
                     ids[key] = len(arrs)
-                    arrs.append(np.asarray(p))
+                    dev = getattr(s.pic, "dev", None)
+                    if dev is not None:
+                        arrs.append(dev[plane_idx])
+                    else:
+                        arrs.append(jnp.asarray(np.asarray(p))
+                                    .astype(jnp.int32))
                 slot_of[i] = ids[key]
             if not arrs:
-                arrs = [np.zeros((8, 8), self.pic.planes[plane_idx].dtype)]
-            stacks[plane_idx] = (jnp.asarray(np.stack(arrs)), slot_of)
+                arrs = [jnp.zeros((8, 8), jnp.int32)]
+            stacks[plane_idx] = (jnp.stack(arrs), slot_of)
         return stacks
 
     @staticmethod
@@ -383,7 +397,15 @@ class DeviceInterReconstructor(InterReconstructor):
                 stacks = self._build_refstacks(jnp)
                 _sync([s[0] for s in stacks.values()])
             with timing.phase("inter.upload_planes"):
-                planes = [jnp.asarray(p) for p in self.pic.planes]
+                if self.had_eager:
+                    # eager replays already wrote host pixels; bring
+                    # them along (native dtype over the tunnel)
+                    planes = [jnp.asarray(np.asarray(p)).astype(jnp.int32)
+                              for p in self.pic.planes]
+                else:
+                    # fresh picture: zeros materialize on device free
+                    planes = [jnp.zeros(p.shape, jnp.int32)
+                              for p in self.pic.planes]
                 _sync(planes)
 
             def ivec(vals, np2, n, fill=0):
@@ -561,13 +583,21 @@ class DeviceInterReconstructor(InterReconstructor):
             _sync(planes)
             t_pass.__exit__(None, None, None)
 
-            # cast on device (4x fewer bytes over the tunnel), then
-            # overlap the per-plane transfers
-            with timing.phase("inter.fetch"):
-                casts = [pl.astype(hp.dtype)
-                         for hp, pl in zip(self.pic.planes, planes)]
-                for hp, a in zip(self.pic.planes, fetch_all(casts)):
-                    hp[:] = a
+            # Leftover blocks (intra/interintra/scaled) run the golden
+            # host path next, so they need the host pixels: cast on
+            # device (4x fewer tunnel bytes) and overlap the per-plane
+            # transfers. Frames with no leftovers skip the round trip
+            # entirely — the planes stay device-resident (Picture.dev)
+            # and the filter chain consumes them in place.
+            if self.leftovers or self.res_fixups:
+                with timing.phase("inter.fetch"):
+                    casts = [pl.astype(hp.dtype)
+                             for hp, pl in zip(self.pic.planes, planes)]
+                    for hp, a in zip(self.pic.planes, fetch_all(casts)):
+                        hp[:] = a
+            else:
+                self.pic.dev = planes
+                self.pic.host_stale = True
 
     def _run_comp_group(self, pi, items, stacks, plane, seg_results, bd,
                         seg_pending=None):

@@ -74,8 +74,26 @@ class IntraReconstructor:
         # boundaries are NOT used (have_left/top clamp at tile edges).
         for b in self.plan.blocks:
             cs, ce, rs, re = tiles[tile_of(b)]
+            self._quad_tl_restore(b)
             self._recon_block(b, cs, ce, rs, re)
+            self._quad_tl_save(b)
         return self.pic
+
+    # -- tl_4x4_filter bookkeeping around BL_8X8 4-way splits ----------
+    # (reference decode.c:2191-2200: the bottom-right 4x4 of an 8x8
+    # split sees the tl_4x4_filter state saved right after the
+    # top-left 4x4, not the bottom-left's. BS_4x4 blocks only arise
+    # from that split, so position parity identifies the quad corners.)
+    def _quad_tl_restore(self, b):
+        if b.bs == lv.BS_4x4 and (b.bx & 1) and (b.by & 1) and \
+                hasattr(self, "tl_4x4_filter"):
+            self.tl_4x4_filter = getattr(self, "_quad_tl_saved",
+                                         self.tl_4x4_filter)
+
+    def _quad_tl_save(self, b):
+        if b.bs == lv.BS_4x4 and not (b.bx & 1) and not (b.by & 1) and \
+                hasattr(self, "tl_4x4_filter"):
+            self._quad_tl_saved = self.tl_4x4_filter
 
     # ------------------------------------------------------------------
     def _recon_block(self, b, col_start, col_end, row_start, row_end):

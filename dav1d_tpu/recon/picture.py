@@ -43,7 +43,7 @@ class Picture:
     __slots__ = ("planes", "w", "h", "bpc", "layout", "layout_name",
                  "ss_hor", "ss_ver", "content_light", "mastering_display",
                  "itut_t35", "seq_hdr", "frame_hdr", "props",
-                 "allocator", "allocator_data")
+                 "allocator", "allocator_data", "dev", "host_stale")
 
     _NAMES = {0: "I400", 1: "I420", 2: "I422", 3: "I444"}
 
@@ -63,6 +63,14 @@ class Picture:
         self.props = None               # DataProps of the source input
         self.allocator = _ALLOCATOR.get()
         self.allocator_data = None      # reference picture.h:84 cookie
+        # device-resident plane cache: when set, `dev` holds one int32
+        # jax array per plane with exactly the host planes' pixel
+        # values (the TPU-side analog of the reference's ref-picture
+        # buffers staying in place across frames). `host_stale` marks
+        # the window where only the device copy is current (between
+        # recon and the output fetch).
+        self.dev = None
+        self.host_stale = False
         planes = None
         if self.allocator is not None:
             planes = self.allocator.alloc_picture_data(self)
@@ -112,6 +120,7 @@ class Picture:
                 hasattr(self.allocator, "release_picture_data"):
             self.allocator.release_picture_data(self)
         self.planes = []
+        self.dev = None
 
 
 class PicturePool:

@@ -68,6 +68,13 @@ CONFIGS = [
     dict(name="hbd-everything", w=96, h=96, n_frames=5, seed=51, hbd=1,
          **EVERYTHING, **PYR),
     dict(name="lossless", w=96, h=64, n_frames=3, seed=61, qidx=0),
+    # regression: tl_4x4_filter must be restored around BL_8X8 4-way
+    # splits (reference decode.c:2191-2200) — the bottom-right 4x4's
+    # sub-8x8 chroma MC reads the top-left block's filter state, not
+    # the bottom-left's. Triggers on dual_filter + dense 4x4 content.
+    dict(name="tl4x4-quad", w=320, h=240, n_frames=6, seed=42,
+         lf_levels=(28, 28, 16, 16), cdef_params=(2, 1, [9, 25], [5, 13]),
+         lr_types=(1, 2, 2)),
 ]
 
 IDS = [c["name"] for c in CONFIGS]

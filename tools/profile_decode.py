@@ -113,6 +113,8 @@ def main():
         if run == n_runs - 1:
             TIMES.clear()
             COUNTS.clear()
+            from dav1d_tpu.utils import timing as _timing
+            _timing.reset()
         t0 = time.perf_counter()
         n = 0
         with Decoder(Settings(n_threads=1)) as d:
