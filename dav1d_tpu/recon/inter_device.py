@@ -228,14 +228,14 @@ class DeviceInterReconstructor(InterReconstructor):
 
         t_walk = timing.phase("inter.walk")
         t_walk.__enter__()
-        for b in self.plan.blocks:
+        for bi, b in enumerate(self.plan.blocks):
             bounds = tiles[tile_of(b)]
             self._quad_tl_restore(b)
             if b.intra or b.interintra_type:
                 if b.interintra_type and b.comp_type == COMP_INTER_NONE:
                     # keep the tl filter state the golden walk would have
                     self.tl_4x4_filter = b.filter2d
-                self.leftovers.append((b, bounds))
+                self.leftovers.append((bi, b, bounds))
                 self._quad_tl_save(b)
                 continue
             snap = self._snapshot()
@@ -256,10 +256,32 @@ class DeviceInterReconstructor(InterReconstructor):
 
         self._execute()
 
-        # leftovers: golden sequential recon in decode order
+        # leftovers: sequential recon in decode order. Pure-intra
+        # leftovers run natively (one C++ call per consecutive run);
+        # interintra / anything the native engine can't serve replays
+        # through the golden path. Order is preserved across the mix —
+        # intra edges may read pixels an earlier leftover wrote.
         with timing.phase("inter.leftovers"):
-            for b, bounds in self.leftovers:
-                self._recon_block(b, *bounds)
+            from . import intra_native
+            run = []
+
+            def flush():
+                if not run:
+                    return
+                idxs = [i for i, _, _ in run]
+                if not intra_native.recon_blocks_native(
+                        self.plan, self.pic, idxs):
+                    for _i, b, bounds in run:
+                        self._recon_block(b, *bounds)
+                run.clear()
+
+            for bi, b, bounds in self.leftovers:
+                if b.intra:
+                    run.append((bi, b, bounds))
+                else:
+                    flush()
+                    self._recon_block(b, *bounds)
+            flush()
         for cb in self.res_fixups:
             t_dim = lv.TXFM_INFO[cb.tx]
             plane = self.pic.planes[cb.plane]

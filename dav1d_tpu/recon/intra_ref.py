@@ -343,6 +343,10 @@ class IntraReconstructor:
 
 
 def reconstruct_intra_frame(plan: FramePlan) -> Picture:
+    from . import intra_native
+    pic = intra_native.reconstruct_intra_frame_native(plan)
+    if pic is not None:
+        return pic
     r = IntraReconstructor(plan)
     itx_ref.precompute_residuals_plan(plan, r.bitdepth)
     return r.run()
