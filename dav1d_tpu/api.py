@@ -150,6 +150,10 @@ class Decoder:
                 err.props = props
                 raise err
             if pic is not None:         # else: pipelined invisible frame
+                # materialize a deferred device->host output transfer
+                # (queued by the Stage-B worker; see recon/filters.py)
+                from .ops.backend import fetch_pic_host
+                fetch_pic_host(pic)
                 pic.props = props or DataProps()
                 self.stats["pictures_out"] += 1
                 return pic

@@ -636,6 +636,12 @@ class ObuStreamDecoder:
             if need_lr:          # DAV1D_INLOOPFILTER_RESTORATION
                 from .ops.restore_ref import apply_lr
                 apply_lr(pic, pre_cdef, plan)
+        if self.pipeline is None:
+            # synchronous decode (bare ObuStreamDecoder): callers read
+            # host planes right away. Pipelined decode defers the
+            # output transfer to the consumer (api.get_picture).
+            from .ops.backend import fetch_pic_host
+            fetch_pic_host(pic)
         pic.seq_hdr = seq
         pic.frame_hdr = fh
         out_pic = pic

@@ -64,36 +64,40 @@ def default_device():
     return None
 
 
-_FETCH_POOL = None
-
-
 def fetch_all(arrs):
     """Device->host for a list of arrays with overlapped transfers.
 
     The TPU sits behind a tunnel with ~30ms per-transfer latency;
-    sequential np.asarray calls pay it serially, while a small thread
-    pool overlaps the round trips (measured ~7x on 30 small arrays).
-    Compute is awaited first so threads only pay transfer time."""
-    global _FETCH_POOL
+    sequential np.asarray calls pay it serially. copy_to_host_async
+    queues every transfer before the first blocking read, so the round
+    trips pipeline (measured on 3 picture planes: 213ms sequential ->
+    140ms async+read; a thread pool measures the same but showed a
+    pathological first-dispatch stall on the tunnel)."""
     import numpy as np
     arrs = list(arrs)
     if not arrs:
         return []
-    if len(arrs) == 1:
-        return [np.asarray(arrs[0])]
-    jax = jax_mod()
-    jax.block_until_ready(arrs)
-    if _FETCH_POOL is None:
-        from concurrent.futures import ThreadPoolExecutor
-        _FETCH_POOL = ThreadPoolExecutor(max_workers=8,
-                                         thread_name_prefix="d2h")
-    return list(_FETCH_POOL.map(np.asarray, arrs))
+    for a in arrs:
+        try:
+            a.copy_to_host_async()
+        except AttributeError:
+            pass
+    return [np.asarray(a) for a in arrs]
 
 
 def fetch_pic_host(pic):
-    """Materialize a device-resident picture (Picture.dev) back into
-    its host planes: cast down on device (fewer tunnel bytes), then
-    overlapped per-plane transfers."""
+    """Materialize a device-resident picture back into its host planes.
+    Prefers the in-flight async transfer (Picture.pending_fetch, queued
+    by the filter chain right after dispatch); falls back to a fresh
+    cast+download of Picture.dev."""
+    pending = getattr(pic, "pending_fetch", None)
+    if pending is not None:
+        import numpy as np
+        for hp, a in zip(pic.planes, pending):
+            hp[:] = np.asarray(a)
+        pic.pending_fetch = None
+        pic.host_stale = False
+        return
     if getattr(pic, "dev", None) is None or not pic.host_stale:
         pic.host_stale = False
         return

@@ -80,61 +80,55 @@ def _block_offsets(fgd, n_rows, n_bx):
     return off
 
 
-def _lut_index_maps(off, h, w, sx, sy, lut_h, lut_w):
-    """Per-pixel flattened grain-LUT gather indices for the four
-    sample variants (main, left, top, topleft)."""
+def _w_vecs(bs, sub):
+    """Per-in-block-position overlap weight vectors (length bs)."""
+    wtab = fg_ref.W_OVERLAP_SUB if sub else fg_ref.W_OVERLAP
+    w0 = np.zeros(bs, np.int32)
+    w1 = np.zeros(bs, np.int32)
+    for i, (a, b_) in enumerate(wtab):
+        w0[i] = a
+        w1[i] = b_
+    return w0, w1
+
+
+def _grain_maps_injit(jnp, off, h, w, sx, sy, lut_w):
+    """Per-pixel grain-LUT gather indices + overlap masks/weights,
+    built ON DEVICE from the (n_rows, n_bx) block-offset table (the
+    precomputed full-frame int32 maps cost ~32MB of tunnel traffic per
+    1080p frame; the offset table is a few KB)."""
     bs_y = FG_BLOCK_SIZE >> sy
     bs_x = FG_BLOCK_SIZE >> sx
-    ys = np.arange(h)
-    xs = np.arange(w)
+    n_rows, n_bx = off.shape
+    ys = jnp.arange(h, dtype=jnp.int32)
+    xs = jnp.arange(w, dtype=jnp.int32)
     row_of = ys // bs_y
     bx_of = xs // bs_x
     y_in = ys - row_of * bs_y
     x_in = xs - bx_of * bs_x
 
     def maps(dx_blk, dy_blk):
-        # block whose offset we sample (left/top neighbours clamp at 0;
-        # masked out by the blend masks there anyway)
-        r = np.clip(row_of - dy_blk, 0, off.shape[0] - 1)
-        b = np.clip(bx_of - dx_blk, 0, off.shape[1] - 1)
+        r = jnp.clip(row_of - dy_blk, 0, n_rows - 1)
+        b = jnp.clip(bx_of - dx_blk, 0, n_bx - 1)
         rv = off[r[:, None], b[None, :]]
         offx = 3 + (2 >> sx) * (3 + (rv >> 4))
         offy = 3 + (2 >> sy) * (3 + (rv & 0xF))
         iy = offy + y_in[:, None] + bs_y * dy_blk
         ix = offx + x_in[None, :] + bs_x * dx_blk
-        return (iy * lut_w + ix).astype(np.int32)
+        return iy * lut_w + ix
 
-    main = maps(0, 0)
-    left = maps(1, 0)
-    top = maps(0, 1)
-    topleft = maps(1, 1)
-    # overlap masks
-    xmask = ((x_in < min(2 >> sx, 2))[None, :] & (bx_of > 0)[None, :])
-    ymask = ((y_in < min(2 >> sy, 2))[:, None] & (row_of > 0)[:, None])
-    xmask = np.broadcast_to(xmask, (h, w)).copy()
-    ymask = np.broadcast_to(ymask, (h, w)).copy()
-    # overlap weights by position within block
-    wtab = fg_ref.W_OVERLAP_SUB if sx else fg_ref.W_OVERLAP
-    wx0 = np.zeros(w, np.int32)
-    wx1 = np.zeros(w, np.int32)
-    for i, (a, b_) in enumerate(wtab):
-        wx0[x_in == i] = a
-        wx1[x_in == i] = b_
-    wtab = fg_ref.W_OVERLAP_SUB if sy else fg_ref.W_OVERLAP
-    wy0 = np.zeros(h, np.int32)
-    wy1 = np.zeros(h, np.int32)
-    for i, (a, b_) in enumerate(wtab):
-        wy0[y_in == i] = a
-        wy1[y_in == i] = b_
-    return (main, left, top, topleft, xmask, ymask,
-            np.broadcast_to(wx0[None, :], (h, w)).copy(),
-            np.broadcast_to(wx1[None, :], (h, w)).copy(),
-            np.broadcast_to(wy0[:, None], (h, w)).copy(),
-            np.broadcast_to(wy1[:, None], (h, w)).copy())
+    xmask = (x_in < min(2 >> sx, 2))[None, :] & (bx_of > 0)[None, :]
+    ymask = (y_in < min(2 >> sy, 2))[:, None] & (row_of > 0)[:, None]
+    wx0v, wx1v = _w_vecs(bs_x, sx)
+    wy0v, wy1v = _w_vecs(bs_y, sy)
+    wx0 = jnp.take(jnp.asarray(wx0v), x_in)[None, :]
+    wx1 = jnp.take(jnp.asarray(wx1v), x_in)[None, :]
+    wy0 = jnp.take(jnp.asarray(wy0v), y_in)[:, None]
+    wy1 = jnp.take(jnp.asarray(wy1v), y_in)[:, None]
+    return maps, xmask, ymask, wx0, wx1, wy0, wy1
 
 
 @lru_cache(maxsize=None)
-def _fgy_fn(h, w, bd, scaling_shift, overlap, clip_range):
+def _fgy_fn(h, w, bd, scaling_shift, overlap, clip_range, lut_w):
     jax = jax_mod()
     jnp = jax.numpy
     bdm8 = bd - 8
@@ -145,8 +139,11 @@ def _fgy_fn(h, w, bd, scaling_shift, overlap, clip_range):
     def rnd2(x, s):
         return (x + ((1 << s) >> 1)) >> s
 
-    def fn(src, lut, scaling, main, left, top, topleft,
-           xmask, ymask, wx0, wx1, wy0, wy1):
+    def fn(src, lut, scaling, off):
+        maps, xmask, ymask, wx0, wx1, wy0, wy1 = \
+            _grain_maps_injit(jnp, off, h, w, 0, 0, lut_w)
+        main, left = maps(0, 0), maps(1, 0)
+        top, topleft = maps(0, 1), maps(1, 1)
         lf = lut.reshape(-1)
         G = jnp.take(lf, main)
         if overlap:
@@ -173,7 +170,7 @@ def _fgy_fn(h, w, bd, scaling_shift, overlap, clip_range):
 
 @lru_cache(maxsize=None)
 def _fguv_fn(h, w, bd, scaling_shift, overlap, clip_range, is_id, sx, sy,
-             csfl, uv_luma_mult, uv_mult, uv_offset):
+             csfl, uv_luma_mult, uv_mult, uv_offset, lut_w):
     jax = jax_mod()
     jnp = jax.numpy
     bdm8 = bd - 8
@@ -185,8 +182,11 @@ def _fguv_fn(h, w, bd, scaling_shift, overlap, clip_range, is_id, sx, sy,
     def rnd2(x, s):
         return (x + ((1 << s) >> 1)) >> s
 
-    def fn(src, luma, lut, scaling, main, left, top, topleft,
-           xmask, ymask, wx0, wx1, wy0, wy1):
+    def fn(src, luma, lut, scaling, off):
+        maps, xmask, ymask, wx0, wx1, wy0, wy1 = \
+            _grain_maps_injit(jnp, off, h, w, sx, sy, lut_w)
+        main, left = maps(0, 0), maps(1, 0)
+        top, topleft = maps(0, 1), maps(1, 1)
         lf = lut.reshape(-1)
         G = jnp.take(lf, main)
         if overlap:
@@ -231,6 +231,8 @@ def apply_film_grain_device(pic, fh, seq):
     if not fh.film_grain_present:
         return pic
     from ..recon.picture import Picture
+    from .backend import fetch_pic_host
+    fetch_pic_host(pic)    # the output copy below reads host planes
     bd = pic.bpc
     out = Picture(pic.w, pic.h, pic.layout, bd)
     for i, p in enumerate(pic.planes):
@@ -254,12 +256,12 @@ def apply_film_grain_device(pic, fh, seq):
 
     with device_scope():
         if fgd.num_y_points:
-            maps = _lut_index_maps(off, h, w, 0, 0, *luts[0].shape)
             fn = _fgy_fn(h, w, bd, fgd.scaling_shift, overlap,
-                         bool(fgd.clip_to_restricted_range))
+                         bool(fgd.clip_to_restricted_range),
+                         luts[0].shape[1])
             res = fn(_src(0, h, w),
                      luts[0].astype(np.int32),
-                     scalings[0].astype(np.int32), *maps)
+                     scalings[0].astype(np.int32), off)
             out.planes[0][:h, :w] = np.asarray(res).astype(
                 out.planes[0].dtype)
         if pic.layout != 0 and (fgd.num_uv_points[0] or
@@ -273,19 +275,18 @@ def apply_film_grain_device(pic, fh, seq):
                     continue
                 sc = scalings[0] if fgd.chroma_scaling_from_luma else \
                     scalings[1 + pl]
-                maps = _lut_index_maps(off, chh, cw, ss_x, ss_y,
-                                       *luts[1 + pl].shape)
                 fn = _fguv_fn(chh, cw, bd, fgd.scaling_shift, overlap,
                               bool(fgd.clip_to_restricted_range),
                               bool(is_id), ss_x, ss_y,
                               bool(fgd.chroma_scaling_from_luma),
                               int(fgd.uv_luma_mult[pl]),
                               int(fgd.uv_mult[pl]),
-                              int(fgd.uv_offset[pl]))
+                              int(fgd.uv_offset[pl]),
+                              luts[1 + pl].shape[1])
                 res = fn(_src(1 + pl, chh, cw),
                          _src(0, chh << ss_y, (cw << ss_x) + ss_x),
                          luts[1 + pl].astype(np.int32),
-                         sc.astype(np.int32), *maps)
+                         sc.astype(np.int32), off)
                 out.planes[1 + pl][:chh, :cw] = np.asarray(res).astype(
                     out.planes[1 + pl].dtype)
     return out

@@ -71,7 +71,7 @@ def _plane_fn(n4h, n4w, bd, luma):
         def col(o):
             return P[:, PAD + o:PAD + o + 4 * wn:4]
 
-        rep = lambda m: jnp.repeat(m, 4, axis=0)
+        rep = lambda m: jnp.repeat(m.astype(jnp.int32), 4, axis=0)
         cls4 = rep(cls)
         E4 = rep(E) << bdm8
         I4 = rep(I) << bdm8
@@ -210,13 +210,14 @@ def _plane_fn(n4h, n4w, bd, luma):
 
 def _pad_maps(maps, n4h, n4w):
     """Grow (cls, E, I, H) maps to the full padded-plane 4x4 grid;
-    inactive positions get cls=-1 (pass-through)."""
+    inactive positions get cls=-1 (pass-through). Narrow dtypes (the
+    maps ship over the tunnel every frame; the kernel widens them)."""
     cls, E, I, H = maps
-    out_cls = np.full((n4h, n4w), -1, np.int32)
+    out_cls = np.full((n4h, n4w), -1, np.int8)
     out_cls[:cls.shape[0], :cls.shape[1]] = cls
     outs = [out_cls]
     for a in (E, I, H):
-        o = np.zeros((n4h, n4w), np.int32)
+        o = np.zeros((n4h, n4w), np.int16)
         o[:a.shape[0], :a.shape[1]] = a
         outs.append(o)
     return tuple(outs)
@@ -232,7 +233,10 @@ def deblock_planes_device(planes, plan, bd):
     f = plan.f
     fh = f.frame_hdr
     lflf = fh.loopfilter
-    m = build_lf_masks(plan)
+    from .lf_native import build_lf_masks_native
+    m = build_lf_masks_native(plan)
+    if m is None:
+        m = build_lf_masks(plan)
     lut_e, lut_i = calc_eih(lflf.sharpness)
     w4, h4 = f.w4, f.h4
 

@@ -63,12 +63,30 @@ def _col_table(x, w, edges, Wplane):
     return cols
 
 
+def _scatter_ids(jnp, dst, oy, ox, ohs, ows, hmax, wmax):
+    """Destination ids for the masked write-back, built ON DEVICE from
+    the per-item origin/size vectors (shipping precomputed (n, hmax,
+    wmax) id tensors over the tunnel cost more than the pixels)."""
+    ar_h = jnp.arange(hmax, dtype=jnp.int32)
+    ar_w = jnp.arange(wmax, dtype=jnp.int32)
+    ridx = oy[:, None, None] + ar_h[None, :, None]
+    cidx = ox[:, None, None] + ar_w[None, None, :]
+    valid = ((ar_h[None, :, None] < ohs[:, None, None]) &
+             (ar_w[None, None, :] < ows[:, None, None]))
+    ridx = jnp.where(valid, ridx, dst.shape[0])     # OOB -> dropped
+    return ridx, cidx
+
+
 @lru_cache(maxsize=None)
 def _wiener_fn(n, hmax, wmax, bd):
-    """Jitted batched Wiener. Inputs: CP (2*Hp, Wp) int32 stacked
-    [cur; pre] planes; rowt (n, hmax+6) int64 row ids into CP;
-    colt (n, wmax+6) int64; fh/fv (n, 7) int32; oy/ox (n,) int64 output
-    origins; oh/ow (n,) item sizes. Output: scatter data + indices."""
+    """Jitted batched Wiener pass, fused end to end: stacks [cur; pre],
+    gathers the padded sources, filters, and scatters the results back
+    into the live plane — ONE launch per (shape, kind). Inputs:
+    src/pre (Hp, Wp) int32 planes (gather sources — always the pre-LR
+    pixels); dst the running result plane the scatter lands in;
+    rowt (n, hmax+6) int64 row ids into the stacked planes;
+    colt (n, wmax+6) int64; fh/fv (n, 7) int32; ridx/cidx scatter ids
+    (OOB rows dropped)."""
     jax = jax_mod()
     jnp = jax.numpy
     round_bits_h = 3 + (bd == 12) * 2
@@ -76,7 +94,8 @@ def _wiener_fn(n, hmax, wmax, bd):
     round_bits_v = 11 - (bd == 12) * 2
     round_offset = 1 << (bd + round_bits_v - 1)
 
-    def fn(CP, rowt, colt, fhc, fvc):
+    def fn(src, pre, dst, rowt, colt, fhc, fvc, oy, ox, ohs, ows):
+        CP = jnp.concatenate([src, pre], axis=0)
         S = CP[rowt[:, :, None], colt[:, None, :]]   # (n, hmax+6, wmax+6)
         hsum = jnp.full((n, hmax + 6, wmax), 1 << (bd + 6), jnp.int32)
         for i in range(7):
@@ -86,9 +105,11 @@ def _wiener_fn(n, hmax, wmax, bd):
         vsum = jnp.full((n, hmax, wmax), -round_offset, jnp.int32)
         for i in range(7):
             vsum = vsum + fvc[:, i, None, None] * hor[:, i:i + hmax]
-        return jnp.clip(
+        vals = jnp.clip(
             (vsum + (1 << (round_bits_v - 1))) >> round_bits_v,
             0, (1 << bd) - 1)
+        return dst.at[_scatter_ids(jnp, dst, oy, ox, ohs, ows,
+                                   hmax, wmax)].set(vals, mode="drop")
 
     return jax.jit(fn)
 
@@ -125,11 +146,12 @@ def _sgr_fn(n, hmax, wmax, bd):
             ssq = ssq + sl * sl
         return ssq, ssum
 
-    def fn(CP, rowt, colt, s0, s1, w0, w1):
+    def fn(src, pre, dst, rowt, colt, s0, s1, w0, w1, oy, ox, ohs, ows):
         # rowt rows 0..hmax+5 map padded rows -3..hmax+2 with the
         # reference clamp baked in, so R(r) = 3 + r indexes directly
+        CP = jnp.concatenate([src, pre], axis=0)
         S = CP[rowt[:, :, None], colt[:, None, :]].astype(jnp.int64)
-        src = S[:, 3:3 + hmax, PAD:PAD + wmax]
+        src_px = S[:, 3:3 + hmax, PAD:PAD + wmax]
 
         # ---- box3: A/B at rows r = -1..hmax (stacked) ----
         ssq, ssum = box_cols(S, 1)
@@ -147,7 +169,7 @@ def _sgr_fn(n, hmax, wmax, bd):
             eup, edn = e[:, 0:hmax], e[:, 2:hmax + 2]
             return mid * 4 + emid * 4 + up * 4 + dn * 4 + (eup + edn) * 3
 
-        t3 = (win3(A) - win3(B) * src + (1 << 8)) >> 9
+        t3 = (win3(A) - win3(B) * src_px + (1 << 8)) >> 9
 
         # ---- box5: A/B at odd stripe rows r = -1, 1, ..., hmax-1 ----
         ssq, ssum = box_cols(S, 2)
@@ -173,15 +195,17 @@ def _sgr_fn(n, hmax, wmax, bd):
         Pa_even = hwin(B_lo + B_hi, 6, 5)
         Pb_odd = hwin(A_hi, 6, 5)
         Pa_odd = hwin(B_hi, 6, 5)
-        src_even, src_odd = src[:, 0::2], src[:, 1::2]
+        src_even, src_odd = src_px[:, 0::2], src_px[:, 1::2]
         t5_even = (Pb_even - Pa_even * src_even + (1 << 8)) >> 9
         t5_odd = (Pb_odd - Pa_odd * src_odd + (1 << 7)) >> 8
         t5 = jnp.zeros((n, hmax, wmax), jnp.int64)
         t5 = t5.at[:, 0::2].set(t5_even).at[:, 1::2].set(t5_odd)
 
         v = (w0[:, None, None] * t5 + w1[:, None, None] * t3)
-        res = src + ((v + (1 << 10)) >> 11)
-        return jnp.clip(res, 0, (1 << bd) - 1).astype(jnp.int32)
+        res = src_px + ((v + (1 << 10)) >> 11)
+        vals = jnp.clip(res, 0, (1 << bd) - 1).astype(jnp.int32)
+        return dst.at[_scatter_ids(jnp, dst, oy, ox, ohs, ows,
+                                   hmax, wmax)].set(vals, mode="drop")
 
     return jax.jit(fn)
 
@@ -261,9 +285,7 @@ def lr_planes_device(planes, pre_cdef, plan, bd):
                 continue
             cur = jnp.asarray(planes[plane])
             Hp, Wp = cur.shape
-            CP = jnp.concatenate(
-                [cur, jnp.asarray(pre_cdef[plane], jnp.int32)[:Hp]],
-                axis=0)
+            pre = jnp.asarray(pre_cdef[plane], jnp.int32)[:Hp]
             hmax = 64 >> ss_ver
             wmax = (1 << us_log2) + (1 << (us_log2 - 1))
             res = cur
@@ -273,81 +295,112 @@ def lr_planes_device(planes, pre_cdef, plan, bd):
                        if (it[5]["type"] == 2) == (kind == "wiener")]
                 if not sel:
                     continue
-                nb = _pow2(len(sel))
-                rowt = np.zeros((nb, hmax + 6), np.int64)
-                colt = np.zeros((nb, wmax + 2 * PAD), np.int64)
+                n = len(sel)
+                nb = _pow2(n)
+                # batched item scalars (vectorized table build: the
+                # per-item python loop dominated the frame at 1080p)
                 oy = np.zeros(nb, np.int64)
                 ox = np.zeros(nb, np.int64)
                 ohs = np.zeros(nb, np.int64)
                 ows = np.zeros(nb, np.int64)
+                ev = np.zeros(nb, np.int64)
+                oy[:n] = [it[0] for it in sel]
+                ox[:n] = [it[1] for it in sel]
+                ows[:n] = [it[2] for it in sel]
+                ohs[:n] = [it[3] for it in sel]
+                ev[:n] = [it[4] for it in sel]
+                ohs[n:] = 1     # benign geometry for batch padding
+                ows[n:] = 1
                 if kind == "wiener":
                     fhc = np.zeros((nb, 7), np.int32)
                     fvc = np.zeros((nb, 7), np.int32)
+                    for i, (_y, _x, _uw, _sh, _e, u) in enumerate(sel):
+                        fl = u["filter_h"]
+                        fhc[i] = (fl[0], fl[1], fl[2],
+                                  128 - 2 * (fl[0] + fl[1] + fl[2]),
+                                  fl[2], fl[1], fl[0])
+                        fl = u["filter_v"]
+                        fvc[i] = (fl[0], fl[1], fl[2],
+                                  128 - 2 * (fl[0] + fl[1] + fl[2]),
+                                  fl[2], fl[1], fl[0])
+                    bmin = np.where(ev & LR_HAVE_TOP, 4, 6)
                 else:
+                    idx = np.array([it[5]["type"] - 3 for it in sel])
                     s0 = np.zeros(nb, np.int32)
                     s1 = np.zeros(nb, np.int32)
                     w0 = np.zeros(nb, np.int32)
                     w1 = np.zeros(nb, np.int32)
-                for i, (y, x, uw, sh_, e, u) in enumerate(sel):
-                    if kind == "wiener":
-                        bmin = 4 if e & LR_HAVE_TOP else 6
-                        r, p = _row_tables(y, sh_, e, Hp, bmin)
-                        fl = u["filter_h"]
-                        fhc[i] = [fl[0], fl[1], fl[2],
-                                  128 - 2 * (fl[0] + fl[1] + fl[2]),
-                                  fl[2], fl[1], fl[0]]
-                        fl = u["filter_v"]
-                        fvc[i] = [fl[0], fl[1], fl[2],
-                                  128 - 2 * (fl[0] + fl[1] + fl[2]),
-                                  fl[2], fl[1], fl[0]]
-                    else:
-                        idx = u["type"] - 3
-                        ps0, ps1 = int(sgrp[idx][0]), int(sgrp[idx][1])
-                        if ps0:
-                            bmin = 3 if e & LR_HAVE_TOP else 5
-                            if sh_ % 2:
-                                bmin = sh_ + 1
-                        else:
-                            bmin = 3
-                        r, p = _row_tables(y, sh_, e, Hp, bmin)
-                        s0[i], s1[i] = ps0, ps1
-                        w0[i] = u["sgr_weights"][0] if ps0 else 0
-                        wf = 128 - (u["sgr_weights"][0] +
-                                    u["sgr_weights"][1])
-                        w1[i] = wf if ps1 else 0
-                    # extend to hmax+6 rows with the reference row clamp
-                    # (rows -3..hmax+2 -> clip(r, -2, h+1) for SGR; the
-                    # replicated tail is harmless for Wiener)
-                    rr = np.arange(-3, hmax + 3)
-                    if kind == "sgr":
-                        src_r = 3 + np.clip(rr, -2, sh_ + 1)
-                    else:
-                        src_r = np.minimum(3 + rr, sh_ + 5)
-                    rowt[i] = r[src_r] + np.where(p[src_r], Hp, 0)
-                    c = _col_table(x, uw, e, Wp)
-                    ext_c = np.full(wmax + 2 * PAD, c[-1], np.int64)
-                    ext_c[:len(c)] = c
-                    colt[i] = ext_c
-                    oy[i], ox[i] = y, x
-                    ohs[i], ows[i] = sh_, uw
+                    s0[:n] = sgrp[idx, 0]
+                    s1[:n] = sgrp[idx, 1]
+                    sw = np.array([it[5]["sgr_weights"] for it in sel],
+                                  np.int32)
+                    w0[:n] = np.where(s0[:n] != 0, sw[:, 0], 0)
+                    w1[:n] = np.where(s1[:n] != 0,
+                                      128 - (sw[:, 0] + sw[:, 1]), 0)
+                    bmin = np.where(
+                        s0 != 0,
+                        np.where(ohs % 2, ohs + 1,
+                                 np.where(ev & LR_HAVE_TOP, 3, 5)),
+                        3)
 
+                # row tables, batched (_row_tables + the reference row
+                # clamp: padded rows -3..hmax+2; SGR clamps to [-2, h+1],
+                # Wiener replicates the tail)
+                rr = np.arange(-3, hmax + 3)[None, :]
+                if kind == "sgr":
+                    j = 3 + np.clip(rr, -2, ohs[:, None] + 1)
+                else:
+                    j = np.minimum(3 + rr, ohs[:, None] + 5)
+                have_top = (ev[:, None] & LR_HAVE_TOP) != 0
+                use_b = (((ev & LR_HAVE_BOTTOM) != 0) &
+                         (ohs >= bmin))[:, None]
+                yc = oy[:, None]
+                hc = ohs[:, None]
+                mid = yc + (j - 3)
+                top_val = np.where(have_top,
+                                   np.where(j <= 1, yc - 2, yc - 1), yc)
+                bot_val = np.where(use_b,
+                                   np.where(j == hc + 3, yc + hc,
+                                            yc + hc + 1),
+                                   yc + hc - 1)
+                val = np.where(j < 3, top_val,
+                               np.where(j < hc + 3, mid, bot_val))
+                from_lpf = np.where(j < 3, have_top,
+                                    np.where(j < hc + 3, False, use_b))
+                np.clip(val, 0, Hp - 1, out=val)
+                rowt = val + np.where(from_lpf, Hp, 0)
+
+                # col tables, batched (_col_table + tail extension)
+                jj = np.minimum(np.arange(wmax + 2 * PAD)[None, :],
+                                ows[:, None] + 5)
+                cval = np.clip(ox[:, None] + jj - PAD, 0, Wp - 1)
+                no_l = (ev[:, None] & LR_HAVE_LEFT) == 0
+                no_r = (ev[:, None] & LR_HAVE_RIGHT) == 0
+                cval = np.where(no_l & (jj < PAD),
+                                np.clip(ox, 0, Wp - 1)[:, None], cval)
+                cval = np.where(no_r & (jj >= PAD + ows[:, None]),
+                                np.clip(ox + ows - 1, 0, Wp - 1)[:, None],
+                                cval)
+                colt = cval
+
+                # scatter geometry: int32 vectors, ids built in-jit
+                # (shipping (n, hmax, wmax) id tensors cost more
+                # tunnel bytes than the pixels themselves)
+                rowt = rowt.astype(np.int32)
+                colt = colt.astype(np.int32)
+                oy32 = oy.astype(np.int32)
+                ox32 = ox.astype(np.int32)
+                ohs_v = ohs.astype(np.int32)
+                ows_v = ows.astype(np.int32)
+                ohs_v[n:] = 0                         # batch padding
                 if kind == "wiener":
                     fn = _wiener_fn(nb, hmax, wmax, bd)
-                    vals = fn(CP, rowt, colt, fhc, fvc)
+                    res = fn(cur, pre, res, rowt, colt, fhc, fvc,
+                             oy32, ox32, ohs_v, ows_v)
                 else:
                     fn = _sgr_fn(nb, hmax, wmax, bd)
-                    vals = fn(CP, rowt, colt, s0, s1, w0, w1)
-
-                # masked scatter back into the live plane
-                ridx = oy[:, None, None] + np.arange(hmax)[None, :, None]
-                cidx = ox[:, None, None] + np.arange(wmax)[None, None, :]
-                valid = ((np.arange(hmax)[None, :, None] <
-                          ohs[:, None, None]) &
-                         (np.arange(wmax)[None, None, :] <
-                          ows[:, None, None]))
-                ridx = np.where(valid, ridx, Hp)      # OOB -> dropped
-                res = res.at[jnp.asarray(ridx), jnp.asarray(cidx)].set(
-                    vals, mode="drop")
+                    res = fn(cur, pre, res, rowt, colt, s0, s1, w0, w1,
+                             oy32, ox32, ohs_v, ows_v)
             out[plane] = res
     return out
 

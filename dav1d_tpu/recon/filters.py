@@ -37,10 +37,17 @@ def run_filter_chain_device(pic, plan, inloop_filters):
         any(t != 0 for t in fh.restoration.type)
 
     if not (do_deblock or do_cdef or do_sr or do_lr):
-        if getattr(pic, "host_stale", False):
-            from ..ops.backend import fetch_pic_host
-            with timing.phase("filters.fetch"):
-                fetch_pic_host(pic)
+        if getattr(pic, "host_stale", False) and \
+                pic.pending_fetch is None and pic.dev is not None:
+            with device_scope():
+                casts = [d.astype(hp.dtype)
+                         for hp, d in zip(pic.planes, pic.dev)]
+                for a in casts:
+                    try:
+                        a.copy_to_host_async()
+                    except AttributeError:
+                        pass
+                pic.pending_fetch = casts
         return pic
 
     import os as _os
@@ -122,18 +129,23 @@ def run_filter_chain_device(pic, plan, inloop_filters):
                 if _sync:
                     _sync(planes)
 
-        from ..ops.backend import fetch_all
-        # cast on device (4x fewer bytes over the tunnel), then overlap
-        # the per-plane transfers; the final planes also stay attached
-        # as the device-resident cache so later frames reference them
-        # with zero upload traffic
+        # cast down on device (4x fewer tunnel bytes), QUEUE the
+        # device->host transfer, and return without blocking: the
+        # first host consumer (output boundary, golden scaled-ref MC,
+        # film grain copy) materializes via fetch_pic_host. The final
+        # planes stay attached as the device-resident cache so later
+        # frames reference them with zero upload traffic.
         with timing.phase("filters.fetch"):
             casts = [pl.astype(hp.dtype)
                      for hp, pl in zip(out_pic.planes, planes)]
-            for hp, a in zip(out_pic.planes, fetch_all(casts)):
-                hp[:] = a
+            for a in casts:
+                try:
+                    a.copy_to_host_async()
+                except AttributeError:
+                    pass
+            out_pic.pending_fetch = casts
         out_pic.dev = planes
-        out_pic.host_stale = False
+        out_pic.host_stale = True
         if out_pic is not pic:
             pic.dev = None      # pre-super-res picture is dropped
     return out_pic

@@ -75,7 +75,11 @@ class InterReconstructor(IntraReconstructor):
 
     # -- low-level helpers ---------------------------------------------
     def _ref_plane(self, refidx, pl):
-        return self.refp[refidx].pic.planes[pl]
+        refpic = self.refp[refidx].pic
+        if getattr(refpic, "host_stale", False):
+            from ..ops.backend import fetch_pic_host
+            fetch_pic_host(refpic)
+        return refpic.planes[pl]
 
     def _mc(self, put, bw4, bh4, bx, by, pl, mv, refidx, filter2d,
             self_ref=False):

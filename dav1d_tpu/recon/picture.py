@@ -43,7 +43,8 @@ class Picture:
     __slots__ = ("planes", "w", "h", "bpc", "layout", "layout_name",
                  "ss_hor", "ss_ver", "content_light", "mastering_display",
                  "itut_t35", "seq_hdr", "frame_hdr", "props",
-                 "allocator", "allocator_data", "dev", "host_stale")
+                 "allocator", "allocator_data", "dev", "host_stale",
+                 "pending_fetch")
 
     _NAMES = {0: "I400", 1: "I420", 2: "I422", 3: "I444"}
 
@@ -71,6 +72,11 @@ class Picture:
         # recon and the output fetch).
         self.dev = None
         self.host_stale = False
+        # in-flight device->host transfer (down-cast device arrays with
+        # copy_to_host_async issued); materialized by fetch_pic_host at
+        # the first host consumer — the Stage-B worker never blocks on
+        # the output transfer
+        self.pending_fetch = None
         planes = None
         if self.allocator is not None:
             planes = self.allocator.alloc_picture_data(self)

@@ -13,6 +13,15 @@ import hashlib
 import numpy as np
 
 
+def _ensure_host(pic):
+    """Materialize a deferred device->host transfer before reading
+    planes (pictures can arrive with the output download still in
+    flight; see recon/filters.py)."""
+    if getattr(pic, "host_stale", False):
+        from ..ops.backend import fetch_pic_host
+        fetch_pic_host(pic)
+
+
 class Md5Muxer:
     def __init__(self, fh=None):
         self._md5 = hashlib.md5()
@@ -21,6 +30,7 @@ class Md5Muxer:
     def write_picture(self, pic) -> None:
         """pic: Picture with .planes (list of np arrays), .w, .h, .layout,
         .bpc, .ss_hor, .ss_ver."""
+        _ensure_host(pic)
         hbd = pic.bpc > 8
         dtype = "<u2" if hbd else "u1"
         y = pic.planes[0][: pic.h, : pic.w]
@@ -64,6 +74,7 @@ class YuvMuxer:
         self.fh = fh
 
     def write_picture(self, pic) -> None:
+        _ensure_host(pic)
         hbd = pic.bpc > 8
         dtype = "<u2" if hbd else "u1"
         self.fh.write(np.ascontiguousarray(pic.planes[0][: pic.h, : pic.w])
@@ -102,6 +113,7 @@ class Y4mMuxer:
         self.wrote_header = False
 
     def write_picture(self, pic) -> None:
+        _ensure_host(pic)
         if not self.wrote_header:
             csp = self._CSP[(pic.layout_name, pic.bpc)]
             if pic.layout_name == "I420" and pic.bpc == 8 and \
@@ -131,6 +143,7 @@ class Y4mMuxer:
 
 class NullMuxer:
     def write_picture(self, pic) -> None:
+        _ensure_host(pic)
         pass
 
     def finalize(self) -> None:
