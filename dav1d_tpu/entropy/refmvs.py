@@ -248,40 +248,39 @@ class RefMvsFrame:
 
     # ------------------------------------------------------------------
     def save_tmvs(self, col_start8, col_end8, row_start8, row_end8):
-        """reference refmvs.c:763-806 (C fallback semantics)."""
+        """reference refmvs.c:763-806 (C fallback semantics).
+
+        Vectorized per 8x8 cell: the reference samples one odd 4x4
+        position per cell and skips bw8 cells at a time, but splat
+        fills every covered cell with the same (mv, ref, bs), so the
+        per-cell computation is identical to the skipping walk."""
         row_end8 = min(row_end8, self.ih8)
         col_end8 = min(col_end8, self.iw8)
-        for y in range(row_start8, row_end8):
-            # rr passed as rt->r + 6 vs splat base +5: samples the ODD
-            # spatial row by4 = y*2 + 1 (reference refmvs.h:156, 771)
-            by4 = y * 2 + 1
-            x = col_start8
-            while x < col_end8:
-                bx4 = x * 2 + 1
-                bs = int(self.r_bs[by4, bx4])
-                bw8 = (int(lv.block_dimensions[bs][0]) + 1) >> 1
-                ref1 = int(self.r_ref[by4, bx4, 1])
-                ref0 = int(self.r_ref[by4, bx4, 0])
-                mv1y, mv1x = (int(self.r_mv[by4, bx4, 1, 0]),
-                              int(self.r_mv[by4, bx4, 1, 1]))
-                mv0y, mv0x = (int(self.r_mv[by4, bx4, 0, 0]),
-                              int(self.r_mv[by4, bx4, 0, 1]))
-                # ref_sign = mfmv_sign (PAST refs; reference
-                # refmvs.h:154), not sign_bias
-                if ref1 > 0 and self.mfmv_sign[ref1 - 1] and \
-                        (abs(mv1y) | abs(mv1x)) < 4096:
-                    tmv = (mv1y, mv1x, ref1)
-                elif ref0 > 0 and self.mfmv_sign[ref0 - 1] and \
-                        (abs(mv0y) | abs(mv0x)) < 4096:
-                    tmv = (mv0y, mv0x, ref0)
-                else:
-                    tmv = (0, 0, 0)
-                n = max(bw8, 1)
-                end = min(x + n, col_end8)
-                self.rp_mv[y, x:end, 0] = tmv[0]
-                self.rp_mv[y, x:end, 1] = tmv[1]
-                self.rp_ref_idx[y, x:end] = tmv[2]
-                x = end
+        if row_end8 <= row_start8 or col_end8 <= col_start8:
+            return
+        # samples the ODD spatial positions by4 = 2y+1 / bx4 = 2x+1
+        # (reference refmvs.h:156, 771)
+        ys = np.arange(row_start8, row_end8) * 2 + 1
+        xs = np.arange(col_start8, col_end8) * 2 + 1
+        rref = self.r_ref[np.ix_(ys, xs)].astype(np.int32)  # (H, W, 2)
+        rmv = self.r_mv[np.ix_(ys, xs)].astype(np.int32)    # (H, W, 2, 2)
+        # ref_sign = mfmv_sign (PAST refs; reference refmvs.h:154),
+        # not sign_bias
+        sg = np.asarray(self.mfmv_sign, np.int32)
+        ref1 = rref[:, :, 1]
+        ref0 = rref[:, :, 0]
+        ok1 = (ref1 > 0) & (sg[np.maximum(ref1 - 1, 0)] != 0) & \
+            ((np.abs(rmv[:, :, 1, 0]) | np.abs(rmv[:, :, 1, 1])) < 4096)
+        ok0 = (ref0 > 0) & (sg[np.maximum(ref0 - 1, 0)] != 0) & \
+            ((np.abs(rmv[:, :, 0, 0]) | np.abs(rmv[:, :, 0, 1])) < 4096)
+        tmv_y = np.where(ok1, rmv[:, :, 1, 0],
+                         np.where(ok0, rmv[:, :, 0, 0], 0))
+        tmv_x = np.where(ok1, rmv[:, :, 1, 1],
+                         np.where(ok0, rmv[:, :, 0, 1], 0))
+        tref = np.where(ok1, ref1, np.where(ok0, ref0, 0))
+        self.rp_mv[row_start8:row_end8, col_start8:col_end8, 0] = tmv_y
+        self.rp_mv[row_start8:row_end8, col_start8:col_end8, 1] = tmv_x
+        self.rp_ref_idx[row_start8:row_end8, col_start8:col_end8] = tref
 
     # ------------------------------------------------------------------
     def splat_mv(self, bx4, by4, bw4, bh4, mv_pair, ref_pair, bs, mf):

@@ -55,21 +55,32 @@ class DeviceInterReconstructor(InterReconstructor):
         self.leftovers = []
         self._comp_seq = 0
         self.had_eager = False   # a _RetryEager replay wrote host pixels
+        self._journal = []       # bucket-append undo log
 
     # -- bucket helpers --------------------------------------------------
+    # Rollback on _RetryEager uses an append-only journal instead of
+    # per-block dict snapshots (the snapshot dict build was ~100ms/frame
+    # at 1080p): every bucket append records (bucket_list,) and undo
+    # pops; a fresh key records (dict, key) for deletion.
+    def _push(self, d, k, item):
+        lst = d.get(k)
+        if lst is None:
+            lst = d[k] = []
+            self._journal.append((d, k, lst))
+        else:
+            self._journal.append((None, None, lst))
+        lst.append(item)
+
     def _snapshot(self):
-        return tuple((d, {k: len(v) for k, v in d.items()})
-                     for d in (self.put8, self.bilin, self.warp,
-                               self.comp, self.obmc_jobs, self.res_jobs))
+        return len(self._journal)
 
     def _rollback(self, snap):
-        for d, lens in snap:
-            for k in list(d):
-                n = lens.get(k, 0)
-                if n:
-                    del d[k][n:]
-                else:
-                    del d[k]
+        j = self._journal
+        while len(j) > snap:
+            d, k, lst = j.pop()
+            lst.pop()
+            if d is not None:
+                del d[k]
 
     # -- phase math shared with the golden _mc ---------------------------
     def _mc_args(self, bw4, bh4, bx, by, pl, mv, refidx, filter2d):
@@ -97,11 +108,11 @@ class DeviceInterReconstructor(InterReconstructor):
         w, h, dy, dx, amx, amy, ft, r = self._mc_args(
             bw4, bh4, bx, by, pl, mv, refidx, filter2d)
         if ft < 0:
-            self.bilin.setdefault((plane_idx, h, w), []).append(
-                (py, px, r, dy, dx, amx, amy))
+            self._push(self.bilin, (plane_idx, h, w),
+                       (py, px, r, dy, dx, amx, amy))
         else:
-            self.put8.setdefault((plane_idx, h, w), []).append(
-                (py, px, r, dy, dx, amx, amy, ft))
+            self._push(self.put8, (plane_idx, h, w),
+                       (py, px, r, dy, dx, amx, amy, ft))
 
     def _put_warp(self, plane_idx, py, px, b_dim, pl, refidx, wmp):
         if not self.collecting:
@@ -121,7 +132,7 @@ class DeviceInterReconstructor(InterReconstructor):
         mat = wmp.matrix
         bw_px = int(b_dim[0]) * h_mul
         bh_px = int(b_dim[1]) * v_mul
-        jobs = self.warp.setdefault((plane_idx, put), [])
+        wkey = (plane_idx, put)
         for y in range(0, bh_px, 8):
             src_y = self.cur_by * 4 + ((y + 4) << ss_ver)
             mat3_y = mat[3] * src_y + mat[0]
@@ -136,9 +147,10 @@ class DeviceInterReconstructor(InterReconstructor):
                 dy = (mvy >> 16) - 4
                 my = ((mvy & 0xffff) - wmp.gamma * 4 - wmp.delta * 4) \
                     & ~0x3f
-                jobs.append((py + y, px + x, refidx, dy, dx, mx, my,
-                             wmp.alpha, wmp.beta, wmp.gamma, wmp.delta,
-                             pl))
+                self._push(self.warp, wkey,
+                           (py + y, px + x, refidx, dy, dx, mx, my,
+                            wmp.alpha, wmp.beta, wmp.gamma, wmp.delta,
+                            pl))
 
     def _obmc_lap_top(self, plane_idx, py, px, x_off, ow4, oh4, bx, by,
                       pl, mv, refidx, f2d, h_mul, v_mul):
@@ -151,9 +163,8 @@ class DeviceInterReconstructor(InterReconstructor):
         if ft < 0:
             raise _RetryEager()
         hh = v_mul * oh4
-        self.obmc_jobs.setdefault((True, plane_idx, w, hh, h),
-                                  []).append(
-            (py, px + x_off, r, dy, dx, amx, amy, ft))
+        self._push(self.obmc_jobs, (True, plane_idx, w, hh, h),
+                   (py, px + x_off, r, dy, dx, amx, amy, ft))
 
     def _obmc_lap_left(self, plane_idx, py, px, y_off, ow4, oh4, bx, by,
                        pl, mv, refidx, f2d, h_mul, v_mul):
@@ -165,9 +176,8 @@ class DeviceInterReconstructor(InterReconstructor):
             ow4, oh4, bx, by, pl, mv, refidx, f2d)
         if ft < 0:
             raise _RetryEager()
-        self.obmc_jobs.setdefault((False, plane_idx, w, h, h),
-                                  []).append(
-            (py + y_off, px, r, dy, dx, amx, amy, ft))
+        self._push(self.obmc_jobs, (False, plane_idx, w, h, h),
+                   (py + y_off, px, r, dy, dx, amx, amy, ft))
 
     def _exec_compound(self, plane_idx, py, px, descs, comp_type, jw,
                        sign, msk, ss_hor, ss_ver):
@@ -186,7 +196,7 @@ class DeviceInterReconstructor(InterReconstructor):
         self._comp_seq += 1
         job_id = self._comp_seq
         job = [py, px, srcs, comp_type, jw, sign, msk, job_id]
-        self.comp.setdefault((plane_idx, h, w), []).append(job)
+        self._push(self.comp, (plane_idx, h, w), job)
         if comp_type == COMP_INTER_SEG and plane_idx == 0:
             return ("seg", job_id)
         return None
@@ -201,9 +211,9 @@ class DeviceInterReconstructor(InterReconstructor):
                 self.res_fixups.append(cb)
                 continue
             t_dim = lv.TXFM_INFO[cb.tx]
-            self.res_jobs.setdefault(
-                (cb.plane, t_dim.h * 4, t_dim.w * 4), []).append(
-                (cb.y4 * 4, cb.x4 * 4, cb.res))
+            self._push(self.res_jobs,
+                       (cb.plane, t_dim.h * 4, t_dim.w * 4),
+                       (cb.y4 * 4, cb.x4 * 4, cb.res))
 
     # -- walk -------------------------------------------------------------
     def run(self):
@@ -596,7 +606,9 @@ class DeviceInterReconstructor(InterReconstructor):
                 H, W = self._pad_hw(items)
                 np2 = self._padn(len(items))
                 drows, dcols = self._dst_tables(items, np2, H, W)
-                res = np.zeros((np2, H, W), np.int32)
+                # padding lanes never land (OOB scatter ids), so the
+                # batch buffer doesn't need zero-init
+                res = np.empty((np2, H, W), np.int32)
                 for i, (h, w, j) in enumerate(items):
                     res[i, :h, :w] = j[2]
                 fn = mcdev._residual_scatter_fn(np2, H, W, bd)
