@@ -39,16 +39,65 @@ def iclip_u8(v):
     return iclip(v, 0, 255)
 
 
-@dataclass
+# cf pool span per tx (decoder rc layout caps each axis at 8*4 px;
+# mirrors native_tile._static()["cf_len"])
+_CF_LEN = [min(lv.TXFM_INFO[t].w, 8) * min(lv.TXFM_INFO[t].h, 8) * 16
+           for t in range(19)]
+
+
 class CoefBlock:
-    plane: int          # 0=y, 1=u, 2=v
-    x4: int             # position in plane 4x4 units
-    y4: int
-    tx: int             # RectTxfmSize
-    txtp: int
-    eob: int
-    cf: np.ndarray      # int32 flat, dav1d rc layout: rc = x*min(h,32)+y
-    res: np.ndarray = None   # batch-precomputed (h, w) residual (recon)
+    """Stage-A coefficient record. The pure-Python parser passes
+    concrete `cf` arrays; the native materializer passes the tile
+    record dict + local index instead, and `cf`/`res` become lazy
+    views into the tile's cf/residual pools — the per-record slice
+    construction was a measurable share of Stage A at 1080p."""
+
+    __slots__ = ("plane", "x4", "y4", "tx", "txtp", "eob",
+                 "_cf", "_res", "_tile", "_idx")
+
+    def __init__(self, plane, x4, y4, tx, txtp, eob, cf=None,
+                 res=None, tile=None, idx=0):
+        self.plane = plane
+        self.x4 = x4
+        self.y4 = y4
+        self.tx = tx
+        self.txtp = txtp
+        self.eob = eob
+        self._cf = cf
+        self._res = res
+        self._tile = tile
+        self._idx = idx
+
+    @property
+    def cf(self):
+        cf = self._cf
+        if cf is None and self.eob >= 0 and self._tile is not None:
+            t = self._tile
+            off = int(t["coefs"][self._idx, 6])        # CF_OFF
+            cf = self._cf = t["cf_pool"][off:off + _CF_LEN[self.tx]]
+        return cf
+
+    @cf.setter
+    def cf(self, v):
+        self._cf = v
+
+    @property
+    def res(self):
+        r = self._res
+        if r is None and self._tile is not None:
+            ro = self._tile.get("res_off")
+            if ro is not None:
+                off = int(ro[self._idx])
+                if off >= 0:
+                    ti = lv.TXFM_INFO[self.tx]
+                    h, w = ti.h * 4, ti.w * 4
+                    r = self._res = self._tile["res_pool"][
+                        off:off + h * w].reshape(h, w)
+        return r
+
+    @res.setter
+    def res(self, v):
+        self._res = v
 
 
 @dataclass

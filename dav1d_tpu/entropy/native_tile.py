@@ -634,22 +634,23 @@ def _materialize(run):
         raise RuntimeError(f"native tile parse failed: {err}")
 
     # --- materialize outputs into the FramePlan
-    cf_len = st["cf_len"]
     coef_base = len(plan.coefs)
     coefs = plan.coefs
     # stash the raw record views for native Stage-B consumers (the
     # native itx batch and the native intra recon read these directly,
     # no Python-object walk)
-    plan.native_tiles.append(dict(
+    tile_rec = dict(
         blocks=blocks_np[:t.n_blocks], coefs=coefs_np[:t.n_coefs],
         cf_pool=cf_pool, pal_pool=pal_pool, palidx_pool=palidx_pool,
         coef_base=coef_base, block_base=len(plan.blocks),
         col_start=tp.col_start, col_end=tp.col_end,
-        row_start=tp.row_start, row_end=tp.row_end))
-    for plane, x4, y4, tx, txtp, eob, off in \
-            coefs_np[:t.n_coefs].tolist():
-        cf = cf_pool[off:off + cf_len[tx]] if eob >= 0 else None
-        coefs.append(CoefBlock(plane, x4, y4, tx, txtp, eob, cf))
+        row_start=tp.row_start, row_end=tp.row_end)
+    plan.native_tiles.append(tile_rec)
+    # cf/res stay lazy views into the tile pools (CoefBlock properties)
+    for i, (plane, x4, y4, tx, txtp, eob, _off) in \
+            enumerate(coefs_np[:t.n_coefs].tolist()):
+        coefs.append(CoefBlock(plane, x4, y4, tx, txtp, eob,
+                               tile=tile_rec, idx=i))
 
     bdims = lv.block_dimensions
     ss_ver, ss_hor = f.ss_ver, f.ss_hor

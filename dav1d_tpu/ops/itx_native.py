@@ -98,20 +98,24 @@ def block_residual(cf: np.ndarray, eob: int, tx: int, txtp: int,
 
 
 def precompute_native(plan, bitdepth: int) -> bool:
-    """Fill cb.res for every plan coef block from the stashed native
-    tile records. Returns False when the plan has no (complete) native
-    Stage-A output — caller falls back."""
+    """Compute the residual pools for every native tile and stash them
+    in the tile records — CoefBlock.res materializes lazily from them
+    (entropy/decode.py). Returns False when the plan has no (complete)
+    native Stage-A output — caller falls back."""
     if _lib is None or not plan.native_tiles:
         return False
     total = sum(len(t["coefs"]) for t in plan.native_tiles)
     if total != len(plan.coefs):
         return False
     st, _, wh = _ctx()
-    coefs_list = plan.coefs
     for t in plan.native_tiles:
+        if "res_off" in t:
+            continue            # already computed for this tile
         coefs = t["coefs"]
         n = len(coefs)
         if n == 0:
+            t["res_off"] = np.empty(0, np.int64)
+            t["res_pool"] = np.empty(0, np.int32)
             continue
         cfp = t["cf_pool"]
         eligible = coefs[:, 5] >= 0
@@ -124,15 +128,6 @@ def precompute_native(plan, bitdepth: int) -> bool:
             ct.addressof(st), coefs_c.ctypes.data_as(i32p), n,
             cfp.ctypes.data_as(i32p), bitdepth,
             res_pool.ctypes.data_as(i32p), res_off.ctypes.data_as(i64p))
-        base = t["coef_base"]
-        txs = coefs[:, 3].tolist()
-        offs = res_off.tolist()
-        for i in range(n):
-            off = offs[i]
-            if off < 0:
-                continue
-            ti = lv.TXFM_INFO[txs[i]]
-            h, w = ti.h * 4, ti.w * 4
-            coefs_list[base + i].res = \
-                res_pool[off:off + h * w].reshape(h, w)
+        t["res_off"] = res_off
+        t["res_pool"] = res_pool
     return True
