@@ -50,7 +50,32 @@ class _CoefCtx(ct.Structure):
     ]
 
 
+def _build():
+    """Best-effort `make` of the native engine (fresh checkouts have
+    the sources but not the .so; every consumer degrades gracefully to
+    the Python golden paths if this fails)."""
+    import subprocess
+    try:
+        subprocess.run(["make", "-C", os.path.dirname(_LIB_PATH)],
+                       capture_output=True, timeout=300, check=True)
+    except Exception:
+        pass
+
+
 def _load():
+    if not os.path.exists(_LIB_PATH):
+        _build()
+    else:
+        # stale .so (older than any source) -> rebuild
+        d = os.path.dirname(_LIB_PATH)
+        try:
+            so_mtime = os.path.getmtime(_LIB_PATH)
+            if any(os.path.getmtime(os.path.join(d, f)) > so_mtime
+                   for f in os.listdir(d)
+                   if f.endswith((".cpp", ".h"))):
+                _build()
+        except OSError:
+            pass
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ct.CDLL(_LIB_PATH)
