@@ -484,6 +484,16 @@ class ObuStreamDecoder:
             in_cdf = self.refs[pri].cdf
 
         plan = FramePlan(f)
+        if not key_or_intra and self.do_recon and coder_factory is None:
+            # lazy-block fast path: native Stage A -> native inter-job
+            # emitter -> device Stage B, with Python Block objects
+            # built only on demand (leftover replay, golden fallbacks)
+            from .ops.backend import device_enabled
+            if device_enabled():
+                from .ops import lf_native
+                from .recon import inter_jobs_native
+                plan.want_lazy = (inter_jobs_native.available() and
+                                  lf_native.available())
         out_cdf = None
         n_cols = fh.tiling.cols
         n_tiles_f = fh.tiling.rows * n_cols

@@ -232,6 +232,14 @@ class FramePlan:
     # native Stage-A record views per tile (blocks/coefs/pools), kept so
     # native Stage-B consumers (itx, intra recon) skip the Python objects
     native_tiles: list = field(default_factory=list)
+    # lazy-block mode: the hot decode path (native Stage A -> native
+    # job emitter -> device Stage B) never builds Python Block/
+    # CoefBlock objects; consumers that need them call
+    # native_tile.materialize_pending(plan) first
+    want_lazy: bool = False
+    lazy_blocks: bool = False
+    n_blocks_lazy: int = 0
+    n_coefs_lazy: int = 0
 
     def __post_init__(self):
         f = self.f
@@ -332,6 +340,13 @@ class TileParser(InterParserMixin):
             from . import native_tile
             if native_tile.parse_tile_native(self):
                 return
+        if getattr(self.plan, "lazy_blocks", False) or \
+                getattr(self.plan, "want_lazy", False):
+            # mixed native/Python Stage A: the Python walk appends
+            # Block objects directly, so any lazily-parsed native
+            # tiles must materialize first to keep decode order
+            from . import native_tile
+            native_tile.materialize_pending(self.plan)
         root_bl = lv.BL_128X128 if f.sb128 else lv.BL_64X64
         root_node = INTRA_EDGE_TREE[0 if f.sb128 else 1]
         # per-tile LR prediction refs (reference decode.c:2483-2503)

@@ -613,7 +613,6 @@ def _materialize(run):
     lr_np = run.lr_np
     err = run.err
     st = _static()
-    from .decode import Block, CoefBlock
     f = tp.f
     plan = tp.plan
     m = tp.msac
@@ -634,75 +633,138 @@ def _materialize(run):
         raise RuntimeError(f"native tile parse failed: {err}")
 
     # --- materialize outputs into the FramePlan
-    coef_base = len(plan.coefs)
-    coefs = plan.coefs
+    lazy = bool(getattr(plan, "want_lazy", False))
+    if lazy:
+        coef_base = plan.n_coefs_lazy
+        block_base = plan.n_blocks_lazy
+    else:
+        coef_base = len(plan.coefs)
+        block_base = len(plan.blocks)
     # stash the raw record views for native Stage-B consumers (the
-    # native itx batch and the native intra recon read these directly,
-    # no Python-object walk)
+    # native itx batch, intra recon, lf masks and the inter-job
+    # emitter read these directly, no Python-object walk)
     tile_rec = dict(
         blocks=blocks_np[:t.n_blocks], coefs=coefs_np[:t.n_coefs],
-        cf_pool=cf_pool, pal_pool=pal_pool, palidx_pool=palidx_pool,
-        coef_base=coef_base, block_base=len(plan.blocks),
+        cf_pool=cf_pool, cf_used=int(t.cf_used), pal_pool=pal_pool,
+        palidx_pool=palidx_pool,
+        coef_base=coef_base, block_base=block_base,
+        tile_idx=len(plan.native_tiles),
         col_start=tp.col_start, col_end=tp.col_end,
         row_start=tp.row_start, row_end=tp.row_end)
     plan.native_tiles.append(tile_rec)
-    # cf/res stay lazy views into the tile pools (CoefBlock properties)
-    for i, (plane, x4, y4, tx, txtp, eob, _off) in \
-            enumerate(coefs_np[:t.n_coefs].tolist()):
-        coefs.append(CoefBlock(plane, x4, y4, tx, txtp, eob,
-                               tile=tile_rec, idx=i))
-
-    bdims = lv.block_dimensions
-    ss_ver, ss_hor = f.ss_ver, f.ss_hor
-    blocks = plan.blocks
-    for r in blocks_np[:t.n_blocks].tolist():
-        warpmv = None
-        if r[BF_MOTION_MODE] == MM_WARP:
-            warpmv = WarpedMotionParams(
-                type=WarpedMotionType(r[BF_WARP_TYPE]),
-                matrix=[r[BF_WMAT0], r[BF_WMAT1], r[BF_WMAT2],
-                        r[BF_WMAT3], r[BF_WMAT4], r[BF_WMAT5]],
-                alpha=r[BF_ALPHA], beta=r[BF_BETA], gamma=r[BF_GAMMA],
-                delta=r[BF_DELTA])
-        pal = None
-        if r[BF_PAL_IDX] >= 0:
-            prow = pal_pool[r[BF_PAL_IDX]]
-            pal = [prow[0], prow[1], prow[2]]
-        pal_idx_y = pal_idx_uv = None
-        bd = bdims[r[BF_BS]]
-        if r[BF_PALIDX_Y_OFF] >= 0:
-            bw4, bh4 = int(bd[0]), int(bd[1])
-            off = r[BF_PALIDX_Y_OFF]
-            pal_idx_y = palidx_pool[off:off + bh4 * 4 * bw4 * 4].reshape(
-                bh4 * 4, bw4 * 4)
-        if r[BF_PALIDX_UV_OFF] >= 0:
-            cbw4 = (int(bd[0]) + ss_hor) >> ss_hor
-            cbh4 = (int(bd[1]) + ss_ver) >> ss_ver
-            off = r[BF_PALIDX_UV_OFF]
-            pal_idx_uv = palidx_pool[off:off + cbh4 * 4 * cbw4 * 4].reshape(
-                cbh4 * 4, cbw4 * 4)
-        lf_lvl = (r[BF_LF0], r[BF_LF1], r[BF_LF2], r[BF_LF3]) \
-            if r[BF_LF_HAS] else None
-        blocks.append(Block(
-            r[BF_BX], r[BF_BY], r[BF_BS], r[BF_BL], r[BF_BP],
-            r[BF_INTRA], r[BF_SKIP], r[BF_SEG_ID], r[BF_Y_MODE],
-            r[BF_Y_ANGLE], r[BF_UV_MODE], r[BF_UV_ANGLE],
-            (r[BF_CFL0], r[BF_CFL1]), (r[BF_PAL_SZ0], r[BF_PAL_SZ1]),
-            r[BF_TX], r[BF_UVTX], r[BF_EDGE_FLAGS], bool(r[BF_HAS_CHROMA]),
-            r[BF_SM_FL], r[BF_SM_UV_FL], (r[BF_REF0], r[BF_REF1]),
-            ((r[BF_MV00], r[BF_MV01]), (r[BF_MV10], r[BF_MV11])),
-            r[BF_INTER_MODE], r[BF_DRL_IDX], r[BF_COMP_TYPE],
-            r[BF_SKIP_MODE], r[BF_INTERINTRA_TYPE], r[BF_INTERINTRA_MODE],
-            r[BF_WEDGE_IDX], r[BF_MASK_SIGN], r[BF_MOTION_MODE],
-            (r[BF_FILTER0], r[BF_FILTER1]), r[BF_FILTER2D], r[BF_MAX_YTX],
-            (r[BF_TX_SPLIT0], r[BF_TX_SPLIT1]), warpmv,
-            coef_base + r[BF_COEF_START], coef_base + r[BF_COEF_END],
-            lf_lvl, pal, pal_idx_y, pal_idx_uv))
+    if lazy:
+        # Python Block/CoefBlock objects are built on demand only
+        # (leftover replay, golden fallbacks) — the hot decode path
+        # consumes the dense pools directly
+        plan.lazy_blocks = True
+        plan.n_blocks_lazy += int(t.n_blocks)
+        plan.n_coefs_lazy += int(t.n_coefs)
+    else:
+        _append_tile_objects(plan, tile_rec)
 
     for p, row, x64, typ, fv0, fv1, fv2, fh0, fh1, fh2, w0, w1 in \
             lr_np[:t.n_lr].tolist():
         plan.lr_units[p][row][x64] = dict(
             type=typ, filter_v=[fv0, fv1, fv2], filter_h=[fh0, fh1, fh2],
             sgr_weights=[w0, w1])
+
+
+def _block_from_rec(f, tile_rec, r, coef_base):
+    """Build one Block dataclass from a dense record row (list)."""
+    from .decode import Block
+    warpmv = None
+    if r[BF_MOTION_MODE] == MM_WARP:
+        warpmv = WarpedMotionParams(
+            type=WarpedMotionType(r[BF_WARP_TYPE]),
+            matrix=[r[BF_WMAT0], r[BF_WMAT1], r[BF_WMAT2],
+                    r[BF_WMAT3], r[BF_WMAT4], r[BF_WMAT5]],
+            alpha=r[BF_ALPHA], beta=r[BF_BETA], gamma=r[BF_GAMMA],
+            delta=r[BF_DELTA])
+    pal = None
+    if r[BF_PAL_IDX] >= 0:
+        prow = tile_rec["pal_pool"][r[BF_PAL_IDX]]
+        pal = [prow[0], prow[1], prow[2]]
+    pal_idx_y = pal_idx_uv = None
+    ss_ver, ss_hor = f.ss_ver, f.ss_hor
+    palidx_pool = tile_rec["palidx_pool"]
+    bd = lv.block_dimensions[r[BF_BS]]
+    if r[BF_PALIDX_Y_OFF] >= 0:
+        bw4, bh4 = int(bd[0]), int(bd[1])
+        off = r[BF_PALIDX_Y_OFF]
+        pal_idx_y = palidx_pool[off:off + bh4 * 4 * bw4 * 4].reshape(
+            bh4 * 4, bw4 * 4)
+    if r[BF_PALIDX_UV_OFF] >= 0:
+        cbw4 = (int(bd[0]) + ss_hor) >> ss_hor
+        cbh4 = (int(bd[1]) + ss_ver) >> ss_ver
+        off = r[BF_PALIDX_UV_OFF]
+        pal_idx_uv = palidx_pool[off:off + cbh4 * 4 * cbw4 * 4].reshape(
+            cbh4 * 4, cbw4 * 4)
+    lf_lvl = (r[BF_LF0], r[BF_LF1], r[BF_LF2], r[BF_LF3]) \
+        if r[BF_LF_HAS] else None
+    return Block(
+        r[BF_BX], r[BF_BY], r[BF_BS], r[BF_BL], r[BF_BP],
+        r[BF_INTRA], r[BF_SKIP], r[BF_SEG_ID], r[BF_Y_MODE],
+        r[BF_Y_ANGLE], r[BF_UV_MODE], r[BF_UV_ANGLE],
+        (r[BF_CFL0], r[BF_CFL1]), (r[BF_PAL_SZ0], r[BF_PAL_SZ1]),
+        r[BF_TX], r[BF_UVTX], r[BF_EDGE_FLAGS], bool(r[BF_HAS_CHROMA]),
+        r[BF_SM_FL], r[BF_SM_UV_FL], (r[BF_REF0], r[BF_REF1]),
+        ((r[BF_MV00], r[BF_MV01]), (r[BF_MV10], r[BF_MV11])),
+        r[BF_INTER_MODE], r[BF_DRL_IDX], r[BF_COMP_TYPE],
+        r[BF_SKIP_MODE], r[BF_INTERINTRA_TYPE], r[BF_INTERINTRA_MODE],
+        r[BF_WEDGE_IDX], r[BF_MASK_SIGN], r[BF_MOTION_MODE],
+        (r[BF_FILTER0], r[BF_FILTER1]), r[BF_FILTER2D], r[BF_MAX_YTX],
+        (r[BF_TX_SPLIT0], r[BF_TX_SPLIT1]), warpmv,
+        coef_base + r[BF_COEF_START], coef_base + r[BF_COEF_END],
+        lf_lvl, pal, pal_idx_y, pal_idx_uv)
+
+
+def _append_tile_objects(plan, tile_rec):
+    """Build the Python Block/CoefBlock objects for one native tile
+    and append them to the FramePlan (the pre-lazy materialize)."""
+    from .decode import CoefBlock
+    f = plan.f
+    coef_base = tile_rec["coef_base"]
+    coefs = plan.coefs
+    # cf/res stay lazy views into the tile pools (CoefBlock properties)
+    for i, (plane, x4, y4, tx, txtp, eob, _off) in \
+            enumerate(tile_rec["coefs"].tolist()):
+        coefs.append(CoefBlock(plane, x4, y4, tx, txtp, eob,
+                               tile=tile_rec, idx=i))
+    blocks = plan.blocks
+    for r in tile_rec["blocks"].tolist():
+        blocks.append(_block_from_rec(f, tile_rec, r, coef_base))
+
+
+def materialize_pending(plan):
+    """Late materialization of a lazily-parsed plan: builds every
+    Block/CoefBlock that the lazy fast path skipped, in decode order.
+    Called by consumers that genuinely need the Python objects (golden
+    fallbacks, a Python tile-parse fallback mid-frame)."""
+    if not getattr(plan, "lazy_blocks", False):
+        plan.want_lazy = False
+        return
+    for tile_rec in plan.native_tiles:
+        _append_tile_objects(plan, tile_rec)
+    plan.lazy_blocks = False
+    plan.want_lazy = False
+
+
+def materialize_block(plan, tile_rec, local_idx):
+    """Build ONE Block (plus its CoefBlocks) from a lazy plan's pools.
+    The block's coef range is attached as `b._cbs` (absolute
+    plan.coefs indices don't exist on a lazy plan)."""
+    from .decode import CoefBlock as _CB
+    r = tile_rec["blocks"][local_idx].tolist()
+    b = _block_from_rec(plan.f, tile_rec, r, 0)
+    cbs = []
+    crecs = tile_rec["coefs"]
+    for i in range(r[BF_COEF_START], r[BF_COEF_END]):
+        plane, x4, y4, tx, txtp, eob, _off = crecs[i].tolist()
+        cbs.append(_CB(plane, x4, y4, tx, txtp, eob,
+                       tile=tile_rec, idx=i))
+    b.coef_start = 0
+    b.coef_end = len(cbs)
+    b._cbs = cbs
+    return b
 
     run.keep = None

@@ -75,7 +75,8 @@ def build_lf_masks_native(plan):
     back to the golden model)."""
     if not available() or not plan.native_tiles:
         return None
-    if sum(len(t["blocks"]) for t in plan.native_tiles) != \
+    if not getattr(plan, "lazy_blocks", False) and \
+            sum(len(t["blocks"]) for t in plan.native_tiles) != \
             len(plan.blocks):
         return None
     f = plan.f

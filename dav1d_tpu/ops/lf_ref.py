@@ -208,6 +208,9 @@ def _decomp_tx(txw, txh, stepw, steph, from_tx, depth, y_off, x_off,
 def build_lf_masks(plan) -> LfMasks:
     """Port of dav1d_create_lf_mask_intra/inter over the decoded plan
     (reference lf_mask.c:259-383)."""
+    if getattr(plan, "lazy_blocks", False):
+        from ..entropy.native_tile import materialize_pending
+        materialize_pending(plan)
     f = plan.f
     m = LfMasks(f)
     iw, ih = f.w4, f.h4

@@ -4,15 +4,21 @@ Walks the frame plan with the exact golden routing (it subclasses
 InterReconstructor, so every mode decision — OBMC laps, sub-8x8 chroma,
 compound types, warp eligibility — is the validated reference logic,
 reference recon_tmpl.c:938-1985) but the executor leaves *collect* jobs
-instead of computing pixels. The collected jobs run as batched device
-kernels (ops/mc.py), bucketed by shape:
+instead of computing pixels. Jobs are compact int32 descriptors (a
+dozen scalars each — see ops/mc_jobs.py for the layouts); every
+gather/scatter index tensor is built inside the jitted kernels, so the
+per-frame host->device traffic is just the job tables plus the Stage-A
+coefficient pool:
 
   pass A  single-ref puts: 8-tap / bilinear / warp 8x8 tiles
-  pass B  compound blocks (two preps + combine, luma before chroma so
-          segmentation w_mask outputs can feed the chroma combines)
+  pass B  compound blocks (two preps + combine, luma before chroma;
+          luma w_mask outputs land in a device-resident seg plane that
+          the chroma combines gather from — no host round trip)
   pass C  OBMC laps (top blends, then left blends — the golden
           within-block order; regions of distinct blocks are disjoint)
-  pass D  residual scatter-adds (batch itx outputs)
+  pass D  residuals: fused inverse-transform + add + scatter straight
+          from the uploaded Stage-A coefficient pool (residual pixels
+          never exist on the host)
   pass E  host leftovers, in decode order: blocks whose prediction
           reads the current picture (intra, interintra) and blocks on
           scaled (SVC) references — these run the golden eager path on
@@ -28,59 +34,74 @@ import numpy as np
 from ..entropy import levels as lv
 from ..ops import itx_ref, mc_ref
 from ..ops.backend import device_scope, jax_mod
-from ..ops import mc as mcdev
+from ..ops import mc_jobs
 from ..utils import timing
 from .inter_ref import (InterReconstructor, COMP_INTER_NONE,
                         COMP_INTER_AVG, COMP_INTER_WEIGHTED_AVG,
                         COMP_INTER_SEG, COMP_INTER_WEDGE)
 
+OOB = mc_jobs.OOB
+
 
 class _RetryEager(Exception):
     """Raised when a block needs the host path (scaled refs, warp-in-
-    compound); the walk rolls the block's jobs back and replays it
-    through the golden eager leaves."""
+    compound, bilinear compound/OBMC); the walk rolls the block's jobs
+    back and replays it through the golden eager leaves."""
+
+
+def _size_class_vec(h, w):
+    m = np.maximum(h, w)
+    return np.where(m <= 16, 16,
+                    np.where(m <= 32, 32, np.where(m > 64, 128, 64)))
+
+
+def _pad_pow2(arr, fill_cols=()):
+    """Pad a (n, K) job table to the next pow2 batch; padding rows get
+    py=px=OOB (h=w=0 already from zeros) so their lanes drop."""
+    n = len(arr)
+    np2 = 1 << max(4, (n - 1).bit_length())
+    if np2 == n:
+        return arr
+    out = np.zeros((np2, arr.shape[1]), np.int32)
+    out[:n] = arr
+    for c in fill_cols:
+        out[n:, c] = OOB
+    return out
 
 
 class DeviceInterReconstructor(InterReconstructor):
+    # collected job layouts (must match ops/mc_jobs.py and
+    # native/interjobs.cpp):
+    #  puts  (n, 11): plane, h, w, py, px, ref, dy, dx, amx, amy, ft
+    #  warps (n, 12): plane, py, px, ref, dy, dx, mx, my, al, be, ga, de
+    #  obmc  (n, 13): top, plane, ww, hh, lap_h, py, px, ref, dy, dx,
+    #                 amx, amy, ft
+    #  comp  (n, 25): plane, h, w, py, px, mode, jw, sign, mkind,
+    #                 mk0..mk3, dy0, dx0, amx0, amy0, ft0, ref0,
+    #                 dy1, dx1, amx1, amy1, ft1, ref1
+    #  res   (n, 7):  plane, tx, txtp, py, px, cf_local_off, tile_idx
     def __init__(self, plan, refp):
         super().__init__(plan, refp)
         self.collecting = False
-        self.put8 = {}        # (pl_idx, h, w) -> jobs
-        self.bilin = {}       # (pl_idx, h, w) -> jobs
-        self.warp = {}        # (pl_idx, put) -> jobs (8x8 tiles)
-        self.comp = {}        # (pl_idx, h, w) -> jobs
-        self.obmc_jobs = {}   # (top, pl_idx, ww, hh, lap_h) -> jobs
-        self.res_jobs = {}    # (pl_idx, h, w) -> jobs
-        self.res_fixups = []  # residuals without precomputed res
+        self.puts = []
+        self.warps = []
+        self.obmc_jobs = []
+        self.comp = []
+        self.res_jobs = []
+        self._lists = (self.puts, self.warps, self.obmc_jobs, self.comp,
+                       self.res_jobs)
+        self.res_fixups = []  # coef blocks without a native pool record
         self.leftovers = []
-        self._comp_seq = 0
         self.had_eager = False   # a _RetryEager replay wrote host pixels
-        self._journal = []       # bucket-append undo log
+        self._fused_res = bool(plan.native_tiles)
 
-    # -- bucket helpers --------------------------------------------------
-    # Rollback on _RetryEager uses an append-only journal instead of
-    # per-block dict snapshots (the snapshot dict build was ~100ms/frame
-    # at 1080p): every bucket append records (bucket_list,) and undo
-    # pops; a fresh key records (dict, key) for deletion.
-    def _push(self, d, k, item):
-        lst = d.get(k)
-        if lst is None:
-            lst = d[k] = []
-            self._journal.append((d, k, lst))
-        else:
-            self._journal.append((None, None, lst))
-        lst.append(item)
-
+    # -- rollback ---------------------------------------------------------
     def _snapshot(self):
-        return len(self._journal)
+        return tuple(len(l) for l in self._lists)
 
     def _rollback(self, snap):
-        j = self._journal
-        while len(j) > snap:
-            d, k, lst = j.pop()
-            lst.pop()
-            if d is not None:
-                del d[k]
+        for l, n in zip(self._lists, snap):
+            del l[n:]
 
     # -- phase math shared with the golden _mc ---------------------------
     def _mc_args(self, bw4, bh4, bx, by, pl, mv, refidx, filter2d):
@@ -107,22 +128,16 @@ class DeviceInterReconstructor(InterReconstructor):
                                    pl, mv, refidx, filter2d)
         w, h, dy, dx, amx, amy, ft, r = self._mc_args(
             bw4, bh4, bx, by, pl, mv, refidx, filter2d)
-        if ft < 0:
-            self._push(self.bilin, (plane_idx, h, w),
-                       (py, px, r, dy, dx, amx, amy))
-        else:
-            self._push(self.put8, (plane_idx, h, w),
-                       (py, px, r, dy, dx, amx, amy, ft))
+        self.puts.append((plane_idx, h, w, py, px, r, dy, dx, amx, amy,
+                          ft))
 
     def _put_warp(self, plane_idx, py, px, b_dim, pl, refidx, wmp):
         if not self.collecting:
             return super()._put_warp(plane_idx, py, px, b_dim, pl,
                                      refidx, wmp)
-        self._enqueue_warp(True, plane_idx, py, px, b_dim, pl, refidx,
-                           wmp)
+        self._enqueue_warp(plane_idx, py, px, b_dim, pl, refidx, wmp)
 
-    def _enqueue_warp(self, put, plane_idx, py, px, b_dim, pl, refidx,
-                      wmp):
+    def _enqueue_warp(self, plane_idx, py, px, b_dim, pl, refidx, wmp):
         """Expand a warped block into per-8x8 jobs (the golden
         _warp_affine tiling, recon_tmpl.c:1115-1168)."""
         f = self.f
@@ -132,7 +147,7 @@ class DeviceInterReconstructor(InterReconstructor):
         mat = wmp.matrix
         bw_px = int(b_dim[0]) * h_mul
         bh_px = int(b_dim[1]) * v_mul
-        wkey = (plane_idx, put)
+        warps = self.warps
         for y in range(0, bh_px, 8):
             src_y = self.cur_by * 4 + ((y + 4) << ss_ver)
             mat3_y = mat[3] * src_y + mat[0]
@@ -147,10 +162,9 @@ class DeviceInterReconstructor(InterReconstructor):
                 dy = (mvy >> 16) - 4
                 my = ((mvy & 0xffff) - wmp.gamma * 4 - wmp.delta * 4) \
                     & ~0x3f
-                self._push(self.warp, wkey,
-                           (py + y, px + x, refidx, dy, dx, mx, my,
-                            wmp.alpha, wmp.beta, wmp.gamma, wmp.delta,
-                            pl))
+                warps.append((plane_idx, py + y, px + x, refidx, dy, dx,
+                              mx, my, wmp.alpha, wmp.beta, wmp.gamma,
+                              wmp.delta))
 
     def _obmc_lap_top(self, plane_idx, py, px, x_off, ow4, oh4, bx, by,
                       pl, mv, refidx, f2d, h_mul, v_mul):
@@ -163,8 +177,8 @@ class DeviceInterReconstructor(InterReconstructor):
         if ft < 0:
             raise _RetryEager()
         hh = v_mul * oh4
-        self._push(self.obmc_jobs, (True, plane_idx, w, hh, h),
-                   (py, px + x_off, r, dy, dx, amx, amy, ft))
+        self.obmc_jobs.append((1, plane_idx, w, hh, h, py, px + x_off,
+                               r, dy, dx, amx, amy, ft))
 
     def _obmc_lap_left(self, plane_idx, py, px, y_off, ow4, oh4, bx, by,
                        pl, mv, refidx, f2d, h_mul, v_mul):
@@ -176,8 +190,8 @@ class DeviceInterReconstructor(InterReconstructor):
             ow4, oh4, bx, by, pl, mv, refidx, f2d)
         if ft < 0:
             raise _RetryEager()
-        self._push(self.obmc_jobs, (False, plane_idx, w, h, h),
-                   (py + y_off, px, r, dy, dx, amx, amy, ft))
+        self.obmc_jobs.append((0, plane_idx, w, h, h, py + y_off, px,
+                               r, dy, dx, amx, amy, ft))
 
     def _exec_compound(self, plane_idx, py, px, descs, comp_type, jw,
                        sign, msk, ss_hor, ss_ver):
@@ -193,27 +207,114 @@ class DeviceInterReconstructor(InterReconstructor):
         w, h = srcs[0][0], srcs[0][1]
         if srcs[0][6] < 0:          # bilinear compound: host path
             raise _RetryEager()
-        self._comp_seq += 1
-        job_id = self._comp_seq
-        job = [py, px, srcs, comp_type, jw, sign, msk, job_id]
-        self._push(self.comp, (plane_idx, h, w), job)
+        mkind, mk = 0, (0, 0, 0, 0)
+        if comp_type not in (COMP_INTER_AVG, COMP_INTER_WEIGHTED_AVG,
+                             COMP_INTER_SEG):
+            if isinstance(msk, tuple) and msk and msk[0] == "seg":
+                mkind = 2
+            else:
+                mkind, mk = 1, msk      # (clidx, bs, sign, wedge_idx)
+        s0, s1 = srcs
+        self.comp.append((plane_idx, h, w, py, px, comp_type, jw, sign,
+                          mkind, mk[0], mk[1], mk[2], mk[3],
+                          s0[2], s0[3], s0[4], s0[5], s0[6], s0[7],
+                          s1[2], s1[3], s1[4], s1[5], s1[6], s1[7]))
         if comp_type == COMP_INTER_SEG and plane_idx == 0:
-            return ("seg", job_id)
+            return ("seg",)
         return None
 
     def _add_residuals(self, b):
         if not self.collecting:
+            if getattr(b, "_cbs", None) is not None:
+                return self._add_residuals_cbs(b)
             return super()._add_residuals(b)
+        res_jobs = self.res_jobs
         for cb in self.plan.coefs[b.coef_start:b.coef_end]:
             if cb.eob < 0:
                 continue
-            if cb.res is None:
+            t = cb._tile
+            if self._fused_res and t is not None:
+                res_jobs.append((cb.plane, cb.tx, cb.txtp, cb.y4 * 4,
+                                 cb.x4 * 4,
+                                 int(t["coefs"][cb._idx, 6]),
+                                 t["tile_idx"]))
+            else:
                 self.res_fixups.append(cb)
+
+    # -- residuals for lazily-materialized leftover blocks ---------------
+    def _add_residuals_cbs(self, b):
+        bd = self.bitdepth
+        for cb in b._cbs:
+            if cb.eob < 0:
                 continue
             t_dim = lv.TXFM_INFO[cb.tx]
-            self._push(self.res_jobs,
-                       (cb.plane, t_dim.h * 4, t_dim.w * 4),
-                       (cb.y4 * 4, cb.x4 * 4, cb.res))
+            plane = self.pic.planes[cb.plane]
+            ppx, ppy = cb.x4 * 4, cb.y4 * 4
+            itx_ref.add_residual(
+                plane[ppy:ppy + t_dim.h * 4, ppx:ppx + t_dim.w * 4],
+                cb, bd)
+
+    # -- native-emitter walk (native/interjobs.cpp) -----------------------
+    def run_native(self, jobs):
+        """Execute pre-collected job tables from the native emitter;
+        replays only the leftover blocks through the golden path."""
+        self.puts = jobs["puts"]
+        self.warps = jobs["warps"]
+        self.obmc_jobs = jobs["obmc"]
+        self.comp = jobs["comp"]
+        self.res_jobs = jobs["res"]
+        lo = jobs["leftovers"]
+        self.leftovers = lo.tolist()
+        self.had_eager = False
+        self._execute()
+
+        if not len(lo):
+            return self.pic
+        from ..entropy import native_tile as nt
+        from . import intra_native
+        tiles_rec = self.plan.native_tiles
+        with timing.phase("inter.leftovers"):
+            run_idxs = []
+
+            def bounds(tr):
+                return (tr["col_start"], tr["col_end"],
+                        tr["row_start"], tr["row_end"])
+
+            def replay(gi, tr):
+                b = nt.materialize_block(self.plan, tr,
+                                         gi - tr["block_base"])
+                for cb in b._cbs:
+                    self.coef_by_pos.setdefault(
+                        (cb.plane, cb.x4, cb.y4), cb)
+                if b.intra:
+                    self._recon_block(b, *bounds(tr))
+                else:
+                    self._recon_b_inter(b, *bounds(tr))
+                    # tl filter state the next sub-8x8 replay would
+                    # see was already captured by the emitter
+
+            def flush():
+                if not run_idxs:
+                    return
+                idxs = [g for g, _ in run_idxs]
+                if not intra_native.recon_blocks_native(
+                        self.plan, self.pic, idxs):
+                    for g, tr in run_idxs:
+                        replay(g, tr)
+                run_idxs.clear()
+
+            for gi, tlf, tidx in self.leftovers:
+                tr = tiles_rec[tidx]
+                li = gi - tr["block_base"]
+                if tr["blocks"][li, nt.BF_INTRA] and \
+                        not tr["blocks"][li, nt.BF_INTERINTRA_TYPE]:
+                    run_idxs.append((gi, tr))
+                else:
+                    flush()
+                    self.tl_4x4_filter = tlf
+                    replay(gi, tr)
+            flush()
+        return self.pic
 
     # -- walk -------------------------------------------------------------
     def run(self):
@@ -301,6 +402,62 @@ class DeviceInterReconstructor(InterReconstructor):
                 cb, self.bitdepth)
         return self.pic
 
+    # -- wedge mask routing (the golden _compound passes mask arrays;
+    #    the collector wants the table key instead) -----------------------
+    def _compound(self, b, b_dim, bw4, bh4, cbw4, cbh4, has_chroma,
+                  chr_layout_idx):
+        if not self.collecting:
+            return super()._compound(b, b_dim, bw4, bh4, cbw4, cbh4,
+                                     has_chroma, chr_layout_idx)
+        f = self.f
+        fh = f.frame_hdr
+        ss_ver, ss_hor = f.ss_ver, f.ss_hor
+        filter2d = b.filter2d
+        px, py = b.bx * 4, b.by * 4
+
+        descs = []
+        for i in range(2):
+            if (b.inter_mode == lv.GLOBALMV_GLOBALMV and
+                    f.gmv_warp_allowed[b.ref[i]]):
+                descs.append(("warp", (b_dim, 0, b.ref[i],
+                                       fh.gmv[b.ref[i]])))
+            else:
+                descs.append(("mc", (bw4, bh4, b.bx, b.by, 0,
+                                     b.mv[i], b.ref[i], filter2d)))
+        jw = int(self.jnt_weights[b.ref[0]][b.ref[1]])
+        msk = None
+        if b.comp_type == COMP_INTER_WEDGE:
+            msk = (0, b.bs, 0, b.wedge_idx)
+        seg_mask = self._exec_compound(0, py, px, descs, b.comp_type,
+                                       jw, b.mask_sign, msk, ss_hor,
+                                       ss_ver)
+        if b.comp_type == COMP_INTER_SEG:
+            msk = seg_mask
+        elif b.comp_type == COMP_INTER_WEDGE and has_chroma:
+            msk = (chr_layout_idx, b.bs, b.mask_sign, b.wedge_idx)
+
+        if has_chroma:
+            uv_px = (b.bx >> ss_hor) * 4
+            uv_py = (b.by >> ss_ver) * 4
+            uv_comp = b.comp_type if b.comp_type in (
+                COMP_INTER_AVG, COMP_INTER_WEIGHTED_AVG) \
+                else COMP_INTER_WEDGE
+            for pl in range(2):
+                cdescs = []
+                for i in range(2):
+                    if (b.inter_mode == lv.GLOBALMV_GLOBALMV and
+                            min(cbw4, cbh4) > 1 and
+                            f.gmv_warp_allowed[b.ref[i]]):
+                        cdescs.append(("warp", (b_dim, 1 + pl, b.ref[i],
+                                                fh.gmv[b.ref[i]])))
+                    else:
+                        cdescs.append(("mc", (bw4, bh4, b.bx, b.by,
+                                              1 + pl, b.mv[i], b.ref[i],
+                                              filter2d)))
+                self._exec_compound(1 + pl, uv_py, uv_px, cdescs,
+                                    uv_comp, jw, b.mask_sign, msk,
+                                    ss_hor, ss_ver)
+
     # -- device execution --------------------------------------------------
     def _ref_bounds(self, pl_type):
         f = self.f
@@ -310,16 +467,16 @@ class DeviceInterReconstructor(InterReconstructor):
                 (f.frame_hdr.width[0] + ss_hor) >> ss_hor)
 
     def _build_refstacks(self, jnp):
-        """One (R, H, W) int32 device stack per plane index;
-        refidx -> slot. Reference planes that are still device-resident
-        from their own decode (Picture.dev) stack with zero
-        host->device traffic; refs without a cache upload once in their
-        native dtype (4x fewer tunnel bytes) and widen on device."""
+        """One (R, H, W) int32 device stack per plane index plus a
+        (7,) refidx->slot lut. Reference planes that are still
+        device-resident from their own decode (Picture.dev) stack with
+        zero host->device traffic; refs without a cache upload once in
+        their native dtype and widen on device."""
         stacks = {}
         for plane_idx in range(len(self.pic.planes)):
             arrs = []
             ids = {}
-            slot_of = {}
+            lut = np.zeros(7, np.int32)
             for i in range(7):
                 s = self.refp[i]
                 if s is None or s.pic is None:
@@ -334,96 +491,40 @@ class DeviceInterReconstructor(InterReconstructor):
                     else:
                         arrs.append(jnp.asarray(np.asarray(p))
                                     .astype(jnp.int32))
-                slot_of[i] = ids[key]
+                lut[i] = ids[key]
             if not arrs:
                 arrs = [jnp.zeros((8, 8), jnp.int32)]
-            stacks[plane_idx] = (jnp.stack(arrs), slot_of)
+            stacks[plane_idx] = (jnp.stack(arrs), lut)
         return stacks
 
-    @staticmethod
-    def _padn(n):
-        return 1 << max(4, (n - 1).bit_length())
-
-    # canonical size classes: every group pads to a FIXED (cls, cls)
-    # window so the set of compiled programs is finite and saturates
-    # after a few frames (per-frame max-dims made every frame compile
-    # new shapes; on the tunnel-attached TPU compiles dwarf the padded
-    # compute, which runs on otherwise idle VPU lanes)
-    @staticmethod
-    def _size_class(h, w):
-        m = max(h, w)
-        if m <= 16:
-            return 16
-        if m <= 32:
-            return 32
-        return 128 if m > 64 else 64
-
-    def _regroup(self, buckets):
-        """{(pi, h, w): jobs} -> {(pi, cls): [(h, w, job), ...]}."""
-        groups = {}
-        for (pi, h, w), jobs in buckets.items():
-            g = groups.setdefault((pi, self._size_class(h, w)), [])
-            for j in jobs:
-                g.append((h, w, j))
-        return groups
-
-    @staticmethod
-    def _pad_hw(items):
-        """Canonical padded (H, W) of a group = its size class."""
-        cls = DeviceInterReconstructor._size_class(
-            max(h for h, _, _ in items), max(w for _, w, _ in items))
-        return (cls, cls)
-
-    _OOB = 1 << 20          # scatter sentinel: dropped by mode="drop"
-
-    def _dst_tables(self, items, np2, H, W):
-        """drows/dcols with OOB on size- and batch-padding lanes."""
-        n = len(items)
-        OOB = self._OOB
-        drows = np.full((np2, H), OOB, np.int32)
-        dcols = np.full((np2, W), OOB, np.int32)
-        hs = np.fromiter((h for h, _, _ in items), np.int32, n)
-        ws = np.fromiter((w for _, w, _ in items), np.int32, n)
-        py = np.fromiter((j[0] for _, _, j in items), np.int32, n)
-        px = np.fromiter((j[1] for _, _, j in items), np.int32, n)
-        ar_h = np.arange(H, dtype=np.int32)
-        ar_w = np.arange(W, dtype=np.int32)
-        drows[:n] = np.where(ar_h[None, :] < hs[:, None],
-                             py[:, None] + ar_h[None, :], OOB)
-        dcols[:n] = np.where(ar_w[None, :] < ws[:, None],
-                             px[:, None] + ar_w[None, :], OOB)
-        return drows, dcols
-
-    def _gather_tables(self, pi, items, np2, H, W, off, dyi, dxi):
-        """Clamped source gather ids; window is H+7 for 8-tap (off=3),
-        H+1 for bilinear (off=0)."""
-        n = len(items)
-        rh, rw = self._ref_bounds(int(bool(pi)))
-        win_h = H + (7 if off == 3 else 1)
-        win_w = W + (7 if off == 3 else 1)
-        rows = np.zeros((np2, win_h), np.int32)
-        cols = np.zeros((np2, win_w), np.int32)
-        dy = np.fromiter((j[dyi] for _, _, j in items), np.int32, n)
-        dx = np.fromiter((j[dxi] for _, _, j in items), np.int32, n)
-        rows[:n] = np.clip(dy[:, None] - off +
-                           np.arange(win_h, dtype=np.int32), 0, rh - 1)
-        cols[:n] = np.clip(dx[:, None] - off +
-                           np.arange(win_w, dtype=np.int32), 0, rw - 1)
-        return rows, cols
+    def _build_cf_pool(self):
+        """Concatenate the per-tile Stage-A coefficient pools (used
+        span only) into one frame pool; returns (pool, bases)."""
+        tiles = self.plan.native_tiles
+        bases = np.zeros(max(len(tiles), 1), np.int64)
+        parts = []
+        pos = 0
+        for t in tiles:
+            used = int(t.get("cf_used", len(t["cf_pool"])))
+            bases[t["tile_idx"]] = pos
+            parts.append(t["cf_pool"][:used])
+            pos += used
+        if not parts:
+            return np.zeros(1, np.int32), bases
+        parts.append(np.zeros(64 * 64, np.int32))   # gather overrun pad
+        return np.concatenate(parts), bases
 
     def _execute(self):
-        if not (self.put8 or self.bilin or self.warp or self.comp or
-                self.obmc_jobs or self.res_jobs):
+        if not (len(self.puts) or len(self.warps) or len(self.obmc_jobs)
+                or len(self.comp) or len(self.res_jobs)):
             return
         jax = jax_mod()
         jnp = jax.numpy
         bd = self.bitdepth
-        OOB = self._OOB
-        fb = mcdev.filter_banks()
-        from ..ops.backend import fetch_all
         import os as _os
-        _sync = (lambda x: jax.block_until_ready(x)) if timing.ENABLED and \
-            _os.environ.get("DAV1D_TPU_TIMING_SYNC") else (lambda x: x)
+        _sync = (lambda x: jax.block_until_ready(x)) if timing.ENABLED \
+            and _os.environ.get("DAV1D_TPU_TIMING_SYNC") else \
+            (lambda x: x)
         with device_scope():
             with timing.phase("inter.upload_refs"):
                 stacks = self._build_refstacks(jnp)
@@ -440,180 +541,134 @@ class DeviceInterReconstructor(InterReconstructor):
                               for p in self.pic.planes]
                 _sync(planes)
 
-            def ivec(vals, np2, n, fill=0):
-                a = np.full(np2, fill, np.int32)
-                a[:n] = np.fromiter(vals, np.int32, n)
-                return a
+            def groups(arr, keycols):
+                """Yield (keyrow, subarray) per unique key combo."""
+                if not len(arr):
+                    return
+                keys = arr[:, keycols]
+                order = np.lexsort(keys.T[::-1])
+                sk = keys[order]
+                bounds = np.nonzero(np.any(sk[1:] != sk[:-1], axis=1))[0]
+                starts = np.concatenate(([0], bounds + 1))
+                ends = np.concatenate((bounds + 1, [len(arr)]))
+                for s, e in zip(starts, ends):
+                    yield sk[s], arr[order[s:e]]
 
-            def job_taps(items, np2):
-                """Per-job 8-tap rows; the small-block 4-tap variant is
-                selected per job (mc_tmpl.c:116-133)."""
-                n = len(items)
-                amx = ivec((j[5] for _, _, j in items), np2, n)
-                amy = ivec((j[6] for _, _, j in items), np2, n)
-                ft = ivec((j[7] for _, _, j in items), np2, n)
-                small_w = ivec((int(w <= 4) for _, w, _ in items), np2, n)
-                small_h = ivec((int(h <= 4) for h, _, _ in items), np2, n)
-                fh = fb[small_w, ft & 3, amx]
-                fv = fb[small_h, (ft >> 2) & 3, amy]
-                return fh, fv, amx, amy
-
-            # ---- pass A: single-ref puts (one launch per plane/class) ---
+            # ---- pass A: single-ref puts ---------------------------------
             t_pass = timing.phase("inter.passA")
             t_pass.__enter__()
-            for (pi, _cls), items in self._regroup(self.put8).items():
-                H, W = self._pad_hw(items)
-                np2 = self._padn(len(items))
-                n = len(items)
-                REF, slot_of = stacks[pi]
-                rows, cols = self._gather_tables(pi, items, np2, H, W,
-                                                 3, 3, 4)
-                drows, dcols = self._dst_tables(items, np2, H, W)
-                slot = ivec((slot_of[j[2]] for _, _, j in items), np2, n)
-                fh, fv, _, _ = job_taps(items, np2)
-                fn = mcdev._put8_scatter_fn(np2, H, W, bd)
-                planes[pi] = fn(REF, rows, cols, slot, fh, fv,
-                                planes[pi], drows, dcols)
-            for (pi, _cls), items in self._regroup(self.bilin).items():
-                H, W = self._pad_hw(items)
-                np2 = self._padn(len(items))
-                n = len(items)
-                REF, slot_of = stacks[pi]
-                rows, cols = self._gather_tables(pi, items, np2, H, W,
-                                                 0, 3, 4)
-                drows, dcols = self._dst_tables(items, np2, H, W)
-                slot = ivec((slot_of[j[2]] for _, _, j in items), np2, n)
-                amx = ivec((j[5] for _, _, j in items), np2, n)
-                amy = ivec((j[6] for _, _, j in items), np2, n)
-                fn = mcdev._bilin_scatter_fn(np2, H, W, bd)
-                planes[pi] = fn(REF, rows, cols, slot, amx, amy,
-                                planes[pi], drows, dcols)
-            for (pi, _put), jobs in self.warp.items():
+            puts = np.asarray(self.puts, np.int32).reshape(-1, 11)
+            if len(puts):
+                cls = _size_class_vec(puts[:, 1], puts[:, 2])
+                bil = (puts[:, 10] < 0).astype(np.int32)
+                key = np.stack([puts[:, 0], cls, bil], 1)
+                aug = np.concatenate([puts, key[:, 1:]], 1)
+                for krow, sub in groups(aug, [0, 11, 12]):
+                    pi, c, isb = int(krow[0]), int(krow[1]), int(krow[2])
+                    REF, lut = stacks[pi]
+                    jobs = sub[:, :11].copy()
+                    jobs[:, 5] = lut[jobs[:, 5]]
+                    jobs = _pad_pow2(jobs, fill_cols=(3, 4))
+                    rh, rw = self._ref_bounds(int(bool(pi)))
+                    fn = mc_jobs.bilin_jobs_fn if isb else \
+                        mc_jobs.put8_jobs_fn
+                    planes[pi] = fn(len(jobs), c, c, bd, rh, rw)(
+                        REF, jobs, planes[pi])
+            warps = np.asarray(self.warps, np.int32).reshape(-1, 12)
+            for krow, sub in groups(warps, [0]):
+                pi = int(krow[0])
+                REF, lut = stacks[pi]
+                jobs = sub.copy()
+                jobs[:, 3] = lut[jobs[:, 3]]
+                jobs = _pad_pow2(jobs, fill_cols=(1, 2))
                 rh, rw = self._ref_bounds(int(bool(pi)))
-                REF, slot_of = stacks[pi]
-                np2 = self._padn(len(jobs))
-                n = len(jobs)
-                py = ivec((j[0] for j in jobs), np2, n, OOB)
-                px = ivec((j[1] for j in jobs), np2, n, OOB)
-                slot = ivec((slot_of[j[2]] for j in jobs), np2, n)
-                dy = ivec((j[3] for j in jobs), np2, n)
-                dx = ivec((j[4] for j in jobs), np2, n)
-                rows = np.clip(dy[:, None] +
-                               np.arange(-3, 12, dtype=np.int32), 0,
-                               rh - 1)
-                cols = np.clip(dx[:, None] +
-                               np.arange(-3, 12, dtype=np.int32), 0,
-                               rw - 1)
-                mx = ivec((j[5] for j in jobs), np2, n)
-                my = ivec((j[6] for j in jobs), np2, n)
-                al = ivec((j[7] for j in jobs), np2, n)
-                be = ivec((j[8] for j in jobs), np2, n)
-                ga = ivec((j[9] for j in jobs), np2, n)
-                de = ivec((j[10] for j in jobs), np2, n)
-                drows = np.where(py[:, None] >= OOB, OOB,
-                                 py[:, None] +
-                                 np.arange(8, dtype=np.int32))
-                dcols = np.where(px[:, None] >= OOB, OOB,
-                                 px[:, None] +
-                                 np.arange(8, dtype=np.int32))
-                fn = mcdev._warp_scatter_fn(np2, bd)
-                planes[pi] = fn(REF, rows, cols, slot, mx, my, al, be,
-                                ga, de, planes[pi], drows, dcols)
-
+                planes[pi] = mc_jobs.warp_jobs_fn(
+                    len(jobs), bd, rh, rw)(REF, jobs, planes[pi])
             _sync(planes)
             t_pass.__exit__(None, None, None)
 
-            # ---- pass B: compounds (luma first; the seg sub-masks of
-            # ALL luma groups are fetched in one overlapped transfer
-            # before the chroma groups run) ---------------------------
+            # ---- pass B: compounds (luma groups first so the seg
+            # plane is populated before the chroma combines) -----------
             t_pass = timing.phase("inter.passB_comp")
             t_pass.__enter__()
-            comp_groups = self._regroup(self.comp)
-            seg_results = {}
-            seg_pending = []    # ([(i, job_id, hs, ws)], device batch)
-            for (pi, _cls), items in comp_groups.items():
-                if pi != 0:
-                    continue
-                planes[pi] = self._run_comp_group(
-                    pi, items, stacks, planes[pi], seg_results, bd,
-                    seg_pending)
-            if seg_pending:
-                for (ids, _), seg_np in zip(
-                        seg_pending,
-                        fetch_all([a for _, a in seg_pending])):
-                    for i, job_id, hs, ws in ids:
-                        seg_results[job_id] = seg_np[i, :hs, :ws]
-            for (pi, _cls), items in comp_groups.items():
-                if pi == 0:
-                    continue
-                planes[pi] = self._run_comp_group(
-                    pi, items, stacks, planes[pi], seg_results, bd,
-                    None)
-
+            comp = np.asarray(self.comp, np.int32).reshape(-1, 25)
+            segplane = None
+            if len(comp):
+                sp_h, sp_w = self.pic.planes[-1].shape
+                segplane = jnp.zeros((sp_h, sp_w), jnp.int32)
+                cls = _size_class_vec(comp[:, 1], comp[:, 2])
+                aug = np.concatenate([comp, cls[:, None]], 1)
+                f = self.f
+                for luma in (True, False):
+                    for krow, sub in groups(aug, [0, 25]):
+                        pi, c = int(krow[0]), int(krow[1])
+                        if (pi == 0) != luma:
+                            continue
+                        REF, lut = stacks[pi]
+                        jobs = np.concatenate(
+                            [sub[:, :9], sub[:, 13:25]], 1)
+                        jobs[:, 14] = lut[jobs[:, 14]]
+                        jobs[:, 20] = lut[jobs[:, 20]]
+                        jobs = _pad_pow2(jobs, fill_cols=(3, 4))
+                        n = len(jobs)
+                        use_msk = bool(np.any(sub[:, 8] == 1))
+                        if use_msk:
+                            msk = np.zeros((n, c, c), np.int8)
+                            for i in np.nonzero(sub[:, 8] == 1)[0]:
+                                h, w = int(sub[i, 1]), int(sub[i, 2])
+                                msk[i, :h, :w] = mc_ref.wedge_mask(
+                                    int(sub[i, 9]), int(sub[i, 10]),
+                                    int(sub[i, 11]), int(sub[i, 12]),
+                                    w, h)
+                        else:
+                            msk = np.zeros(1, np.int8)
+                        rh, rw = self._ref_bounds(int(bool(pi)))
+                        ssh = f.ss_hor if pi == 0 else 0
+                        ssv = f.ss_ver if pi == 0 else 0
+                        fn = mc_jobs.comp_jobs_fn(
+                            n, c, c, bd, ssh, ssv, rh, rw, luma, use_msk)
+                        planes[pi], segplane = fn(REF, jobs, msk,
+                                                  segplane, planes[pi])
             _sync(planes)
             t_pass.__exit__(None, None, None)
 
             # ---- pass C: OBMC blends (top, then left) -------------------
             t_pass = timing.phase("inter.passC_obmc")
             t_pass.__enter__()
-            for top in (True, False):
-                for key, jobs in self.obmc_jobs.items():
-                    if key[0] != top:
+            obmc = np.asarray(self.obmc_jobs, np.int32).reshape(-1, 13)
+            for top in (1, 0):
+                for krow, sub in groups(obmc, [0, 1, 2, 3, 4]):
+                    if int(krow[0]) != top:
                         continue
-                    _, pi, ww, hh, lap_h = key
+                    pi, ww, hh, lap_h = (int(krow[1]), int(krow[2]),
+                                         int(krow[3]), int(krow[4]))
+                    REF, lut = stacks[pi]
+                    jobs = sub.copy()
+                    jobs[:, 7] = lut[jobs[:, 7]]
+                    jobs = _pad_pow2(jobs, fill_cols=(5, 6))
                     rh, rw = self._ref_bounds(int(bool(pi)))
-                    REF, slot_of = stacks[pi]
-                    np2 = self._padn(len(jobs))
-                    n = len(jobs)
-                    py = ivec((j[0] for j in jobs), np2, n, OOB)
-                    px = ivec((j[1] for j in jobs), np2, n, OOB)
-                    slot = ivec((slot_of[j[2]] for j in jobs), np2, n)
-                    dy = ivec((j[3] for j in jobs), np2, n)
-                    dx = ivec((j[4] for j in jobs), np2, n)
-                    rows = np.clip(dy[:, None] - 3 +
-                                   np.arange(lap_h + 7, dtype=np.int32),
-                                   0, rh - 1)
-                    cols = np.clip(dx[:, None] - 3 +
-                                   np.arange(ww + 7, dtype=np.int32),
-                                   0, rw - 1)
-                    amx = ivec((j[5] for j in jobs), np2, n)
-                    amy = ivec((j[6] for j in jobs), np2, n)
-                    ft = ivec((j[7] for j in jobs), np2, n)
-                    fh = fb[int(ww <= 4), ft & 3, amx]
-                    fv = fb[int(lap_h <= 4), (ft >> 2) & 3, amy]
-                    if top:
-                        hb, wbl = (hh * 3) >> 2, ww
-                    else:
-                        hb, wbl = hh, (ww * 3) >> 2
-                    drows = np.where(py[:, None] >= OOB, OOB,
-                                     py[:, None] +
-                                     np.arange(hb, dtype=np.int32))
-                    dcols = np.where(px[:, None] >= OOB, OOB,
-                                     px[:, None] +
-                                     np.arange(wbl, dtype=np.int32))
-                    fn = mcdev._obmc_scatter_fn(np2, ww, hh, lap_h, bd,
-                                                top)
-                    planes[pi] = fn(REF, rows, cols, slot, fh, fv,
-                                    planes[pi], drows, dcols)
-
+                    planes[pi] = mc_jobs.obmc_jobs_fn(
+                        len(jobs), ww, hh, lap_h, bd, bool(top), rh,
+                        rw)(REF, jobs, planes[pi])
             _sync(planes)
             t_pass.__exit__(None, None, None)
 
-            # ---- pass D: residuals (one launch per plane/class) ---------
+            # ---- pass D: residuals straight from the Stage-A pool -------
             t_pass = timing.phase("inter.passD_residual")
             t_pass.__enter__()
-            for (pi, _cls), items in self._regroup(self.res_jobs).items():
-                H, W = self._pad_hw(items)
-                np2 = self._padn(len(items))
-                drows, dcols = self._dst_tables(items, np2, H, W)
-                # padding lanes never land (OOB scatter ids), so the
-                # batch buffer doesn't need zero-init
-                res = np.empty((np2, H, W), np.int32)
-                for i, (h, w, j) in enumerate(items):
-                    res[i, :h, :w] = j[2]
-                fn = mcdev._residual_scatter_fn(np2, H, W, bd)
-                planes[pi] = fn(planes[pi], drows, dcols, res)
-
+            res = np.asarray(self.res_jobs, np.int32).reshape(-1, 7)
+            if len(res):
+                pool_np, bases = self._build_cf_pool()
+                with timing.phase("inter.upload_cf"):
+                    pool = jnp.asarray(pool_np)
+                    _sync(pool)
+                cfoff = (bases[res[:, 6]] + res[:, 5]).astype(np.int32)
+                jobs6 = np.concatenate([res[:, :5], cfoff[:, None]], 1)
+                for krow, sub in groups(jobs6, [0, 1, 2]):
+                    pi, tx, txtp = int(krow[0]), int(krow[1]), int(krow[2])
+                    jobs = _pad_pow2(sub, fill_cols=(3, 4))
+                    planes[pi] = mc_jobs.res_jobs_fn(
+                        len(jobs), tx, txtp, bd)(pool, jobs, planes[pi])
             _sync(planes)
             t_pass.__exit__(None, None, None)
 
@@ -624,6 +679,7 @@ class DeviceInterReconstructor(InterReconstructor):
             # entirely — the planes stay device-resident (Picture.dev)
             # and the filter chain consumes them in place.
             if self.leftovers or self.res_fixups:
+                from ..ops.backend import fetch_all
                 with timing.phase("inter.fetch"):
                     casts = [pl.astype(hp.dtype)
                              for hp, pl in zip(self.pic.planes, planes)]
@@ -633,78 +689,23 @@ class DeviceInterReconstructor(InterReconstructor):
                 self.pic.dev = planes
                 self.pic.host_stale = True
 
-    def _run_comp_group(self, pi, items, stacks, plane, seg_results, bd,
-                        seg_pending=None):
-        """One padded compound launch for all of one plane/class's
-        compound jobs; returns the updated plane."""
-        f = self.f
-        rh, rw = self._ref_bounds(int(bool(pi)))
-        REF, slot_of = stacks[pi]
-        fbk = mcdev.filter_banks()
-        n = len(items)
-        np2 = self._padn(n)
-        H, W = self._pad_hw(items)
-        OOB = self._OOB
-
-        def colv(vals, fill=0):
-            a = np.full(np2, fill, np.int32)
-            a[:n] = np.fromiter(vals, np.int32, n)
-            return a
-
-        drows, dcols = self._dst_tables(items, np2, H, W)
-        parts = []
-        ar_h = np.arange(H + 7, dtype=np.int32)
-        ar_w = np.arange(W + 7, dtype=np.int32)
-        for si in range(2):
-            srcs = [j[2][si] for _, _, j in items]
-            rows = np.zeros((np2, H + 7), np.int32)
-            cols = np.zeros((np2, W + 7), np.int32)
-            dy = np.fromiter((s[2] for s in srcs), np.int32, n)
-            dx = np.fromiter((s[3] for s in srcs), np.int32, n)
-            rows[:n] = np.clip(dy[:, None] - 3 + ar_h[None, :], 0, rh - 1)
-            cols[:n] = np.clip(dx[:, None] - 3 + ar_w[None, :], 0, rw - 1)
-            amx = colv(s[4] for s in srcs)
-            amy = colv(s[5] for s in srcs)
-            ft = colv(s[6] for s in srcs)
-            r = colv(slot_of[s[7]] for s in srcs)
-            small_w = colv(int(w <= 4) for _, w, _ in items)
-            small_h = colv(int(h <= 4) for h, _, _ in items)
-            fh = fbk[small_w, ft & 3, amx]
-            fv = fbk[small_h, (ft >> 2) & 3, amy]
-            parts.extend([rows, cols, r, fh, fv])
-        mode = colv(j[3] for _, _, j in items)
-        jw = colv(j[4] for _, _, j in items)
-        sign = colv(j[5] for _, _, j in items)
-        msk = np.zeros((np2, H, W), np.int8)
-        for i, (h, w, j) in enumerate(items):
-            m = j[6]
-            if isinstance(m, tuple) and m and m[0] == "seg":
-                m = seg_results[m[1]]
-            if m is not None and mode[i] not in (COMP_INTER_AVG,
-                                                 COMP_INTER_WEIGHTED_AVG):
-                msk[i, :h, :w] = m
-        ss_hor = f.ss_hor if pi == 0 else 0
-        ss_ver = f.ss_ver if pi == 0 else 0
-        fn = mcdev._compound_scatter_fn(np2, H, W, bd, ss_hor, ss_ver)
-        plane, seg_sub = fn(REF, *parts, mode, jw, sign, msk, plane,
-                            drows, dcols)
-        if pi == 0 and any(j[3] == COMP_INTER_SEG for _, _, j in items):
-            ids = [(i, j[7], h >> ss_ver, w >> ss_hor)
-                   for i, (h, w, j) in enumerate(items)
-                   if j[3] == COMP_INTER_SEG]
-            if seg_pending is not None:
-                # defer the device->host fetch; the caller overlaps all
-                # luma groups' transfers in one fetch_all
-                seg_pending.append((ids, seg_sub))
-            else:
-                seg_np = np.asarray(seg_sub)
-                for i, job_id, hs, ws in ids:
-                    seg_results[job_id] = seg_np[i, :hs, :ws]
-        return plane
-
 
 def reconstruct_inter_frame_device(plan, refp):
     r = DeviceInterReconstructor(plan, refp)
-    with timing.phase("inter.itx_residuals"):
-        itx_ref.precompute_residuals_plan(plan, r.bitdepth)
+    jobs = None
+    if r._fused_res:
+        from . import inter_jobs_native
+        with timing.phase("inter.emit_jobs"):
+            jobs = inter_jobs_native.emit(plan, plan.f, r.jnt_weights)
+    if jobs is not None:
+        return r.run_native(jobs)
+    # golden Python collector walk (also the DAV1D_TPU_INTERJOBS=python
+    # oracle path); needs the Python Block objects
+    if getattr(plan, "lazy_blocks", False):
+        from ..entropy.native_tile import materialize_pending
+        with timing.phase("inter.materialize"):
+            materialize_pending(plan)
+    if not r._fused_res:
+        with timing.phase("inter.itx_residuals"):
+            itx_ref.precompute_residuals_plan(plan, r.bitdepth)
     return r.run()

@@ -617,6 +617,9 @@ class InterReconstructor(IntraReconstructor):
 
 
 def reconstruct_inter_frame(plan, refp):
+    if getattr(plan, "lazy_blocks", False):
+        from ..entropy.native_tile import materialize_pending
+        materialize_pending(plan)
     r = InterReconstructor(plan, refp)
     itx_ref.precompute_residuals_plan(plan, r.bitdepth)
     return r.run()
