@@ -1,13 +1,15 @@
 #!/usr/bin/env python3
-"""Decode benchmark. Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""Decode benchmark. Prints one JSON line per metric class, the
+BASELINE primary (1080p 8-bit) LAST:
 
-Round-2 scope: full-stream decode fps at 1080p (BASELINE.md's primary
-metric class) on the DEFAULT path — device (TPU) Stage B, native C++
-Stage A, tile-parallel parse, frame pipeline on — over a synthesized
-1920x1080 8-bit 4:2:0 stream with 2x2 tiles and all in-loop filters
-(deblock + CDEF + loop restoration) active. vs_baseline is fps / 60
-(the 60fps realtime target at this resolution).
+{"metric": "decode_3840x2160_10b_fps", ...}   # 4K 10-bit class
+{"metric": "decode_1920x1080_fps", ...}        # primary metric line
+
+Both measure full-stream decode fps on the DEFAULT path — device (TPU)
+Stage B, native C++ Stage A, tile-parallel parse, frame pipeline on —
+over synthesized streams with all in-loop filters (deblock + CDEF +
+loop restoration) active. vs_baseline is fps / 60 (the realtime target
+for each class; BASELINE.md: Chimera-class 1080p and 4K60 10-bit).
 
 The decode runs in a child process under a watchdog: the TPU in this
 environment sits behind a tunnel that can wedge indefinitely (observed
@@ -27,9 +29,15 @@ import time
 ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
 
-W, H, N_FRAMES, SEED, QIDX = 1920, 1080, 8, 7, 100
-CACHE = f"/tmp/dav1d_tpu_bench_{W}x{H}_flt_{SEED}.ivf"
 DEVICE_BUDGET_S = int(os.environ.get("DAV1D_TPU_BENCH_BUDGET", "1800"))
+
+CONFIGS = [
+    # (metric suffix printed first..last; the LAST line is the primary)
+    dict(metric="decode_3840x2160_10b_fps", w=3840, h=2160, n_frames=4,
+         seed=11, qidx=80, hbd=1, budget_frac=0.5),
+    dict(metric="decode_1920x1080_fps", w=1920, h=1080, n_frames=8,
+         seed=7, qidx=100, hbd=0, budget_frac=1.0),
+]
 
 _CHILD = """
 import json, os, sys, time
@@ -57,22 +65,32 @@ print('BENCH_RESULT ' + json.dumps({'n': n, 'dt': dt}), flush=True)
 """
 
 
-def _ensure_stream():
-    if os.path.exists(CACHE):
-        return
+def _stream_path(cfg):
+    if cfg["hbd"] == 0:      # round-2 cache name, kept for reuse
+        return f"/tmp/dav1d_tpu_bench_{cfg['w']}x{cfg['h']}_flt_{cfg['seed']}.ivf"
+    return (f"/tmp/dav1d_tpu_bench_{cfg['w']}x{cfg['h']}"
+            f"_hbd{cfg['hbd']}_flt_{cfg['seed']}.ivf")
+
+
+def _ensure_stream(cfg):
+    path = _stream_path(cfg)
+    if os.path.exists(path):
+        return path
     from tools.streamgen.gen import generate_stream
-    data, _ = generate_stream(W, H, n_frames=N_FRAMES, seed=SEED,
-                              qidx=QIDX, tile_log2_cols=1,
+    data, _ = generate_stream(cfg["w"], cfg["h"], n_frames=cfg["n_frames"],
+                              seed=cfg["seed"], qidx=cfg["qidx"],
+                              hbd=cfg["hbd"], tile_log2_cols=1,
                               tile_log2_rows=1,
                               lf_levels=(28, 28, 16, 16),
                               cdef_params=(2, 1, [9, 25], [5, 13]),
                               lr_types=(1, 2, 2))
-    with open(CACHE, "wb") as f:
+    with open(path, "wb") as f:
         f.write(data)
+    return path
 
 
-def _run_child(env, timeout):
-    script = _CHILD % {"root": ROOT, "cache": CACHE}
+def _run_child(cache, env, timeout):
+    script = _CHILD % {"root": ROOT, "cache": cache}
     try:
         out = subprocess.run([sys.executable, "-u", "-c", script],
                              capture_output=True, text=True,
@@ -85,11 +103,14 @@ def _run_child(env, timeout):
     return None
 
 
-def main():
-    _ensure_stream()
+def _bench_config(cfg, budget):
+    try:
+        cache = _ensure_stream(cfg)
+    except Exception:
+        return None
 
     env = dict(os.environ)
-    res = _run_child(env, DEVICE_BUDGET_S)
+    res = _run_child(cache, env, budget)
 
     if res is None:
         # TPU path hung or failed (wedged tunnel): same device program
@@ -97,25 +118,25 @@ def main():
         env.pop("PYTHONPATH", None)
         env["JAX_PLATFORMS"] = "cpu"
         env["DAV1D_TPU_DEVICE"] = "cpu"
-        res = _run_child(env, DEVICE_BUDGET_S)
+        res = _run_child(cache, env, budget)
 
     if res is None:
         # last resort: the golden host-numpy path (jax never imported)
         env["DAV1D_TPU_BACKEND"] = "numpy"
-        res = _run_child(env, DEVICE_BUDGET_S)
+        res = _run_child(cache, env, budget)
+    return res
 
-    if res is None:
-        print(json.dumps({"metric": f"decode_{W}x{H}_fps", "value": 0.0,
-                          "unit": "frames/sec", "vs_baseline": 0.0}))
-        return
 
-    fps = res["n"] / res["dt"]
-    print(json.dumps({
-        "metric": f"decode_{W}x{H}_fps",
-        "value": round(fps, 3),
-        "unit": "frames/sec",
-        "vs_baseline": round(fps / 60.0, 4),
-    }))
+def main():
+    for cfg in CONFIGS:
+        res = _bench_config(cfg, int(DEVICE_BUDGET_S * cfg["budget_frac"]))
+        fps = (res["n"] / res["dt"]) if res and res["dt"] > 0 else 0.0
+        print(json.dumps({
+            "metric": cfg["metric"],
+            "value": round(fps, 3),
+            "unit": "frames/sec",
+            "vs_baseline": round(fps / 60.0, 4),
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -54,6 +54,9 @@ class Settings:
     logger: object = None      # callable(str); None = stderr; False = off
     allocator: object = None   # Dav1dPicAllocator equivalent — see
                                # recon/picture.py for the contract
+    sharding_mesh: object = None  # jax.sharding.Mesh: column-shard the
+                               # whole Stage-B pixel pipeline over the
+                               # mesh (recon/sharded_stageb.py)
 
 
 @dataclass

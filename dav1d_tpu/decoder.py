@@ -612,12 +612,19 @@ class ObuStreamDecoder:
                 if slot is not None and hasattr(slot.pic, "result"):
                     slot.pic = resolve(slot.pic)
         from .ops.backend import device_enabled
+        mesh = self.settings.sharding_mesh
         if key_or_intra and not fh.allow_intrabc:
             from .recon.intra_ref import reconstruct_intra_frame
             pic = reconstruct_intra_frame(plan)
         elif not key_or_intra and device_enabled():
-            from .recon.inter_device import reconstruct_inter_frame_device
-            pic = reconstruct_inter_frame_device(plan, refp)
+            if mesh is not None:
+                from .recon.sharded_stageb import \
+                    reconstruct_inter_frame_sharded
+                pic = reconstruct_inter_frame_sharded(plan, refp, mesh)
+            else:
+                from .recon.inter_device import \
+                    reconstruct_inter_frame_device
+                pic = reconstruct_inter_frame_device(plan, refp)
         else:
             # intrabc frames copy from the in-progress picture — an
             # inherently sequential walk (reference recon_tmpl.c:1583)
@@ -625,9 +632,14 @@ class ObuStreamDecoder:
             pic = reconstruct_inter_frame(plan, refp)
         ilf = self.settings.inloop_filters
         if device_enabled():
-            # production path: whole-frame device filter chain
-            from .recon.filters import run_filter_chain_device
-            pic = run_filter_chain_device(pic, plan, ilf)
+            if mesh is not None:
+                # multi-chip: whole Stage-B pipeline column-sharded
+                from .recon.sharded_stageb import run_filter_chain_sharded
+                pic = run_filter_chain_sharded(pic, plan, ilf, mesh)
+            else:
+                # production path: whole-frame device filter chain
+                from .recon.filters import run_filter_chain_device
+                pic = run_filter_chain_device(pic, plan, ilf)
         else:
             # golden host path (parity oracle)
             if ilf & 1:          # DAV1D_INLOOPFILTER_DEBLOCK

@@ -34,14 +34,23 @@ def jax_mod():
         import jax
         jax.config.update("jax_enable_x64", True)
         plat = os.environ.get("DAV1D_TPU_DEVICE", "default")
+        # persistent cache only for the (slow-compiling, tunnel-remote)
+        # TPU. On CPU the cache write path has been observed to
+        # SEGFAULT (jax compilation_cache put_executable_and_time /
+        # zstd) under concurrent writers, and cache entries AOT-built
+        # on a different microarch load with feature-mismatch warnings
+        # ("could lead to SIGILL") — recompiling is cheaper than
+        # crashing.
         cache = os.environ.get("DAV1D_TPU_JIT_CACHE",
+                               "" if plat == "cpu" else
                                f"/tmp/dav1d_tpu_jit_cache_{plat}")
-        try:
-            jax.config.update("jax_compilation_cache_dir", cache)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                              0.5)
-        except Exception:
-            pass
+        if cache:
+            try:
+                jax.config.update("jax_compilation_cache_dir", cache)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 0.5)
+            except Exception:
+                pass
         _JAX = jax
     return _JAX
 

@@ -215,63 +215,33 @@ def itx_sharded_check(plan, bitdepth, mesh):
     return float(energy)
 
 
-def sharded_decode_md5(data: bytes, mesh) -> str:
-    """Decode an IVF stream with the deblock stage routed through the
-    mesh-sharded implementation (everything else on the golden host
-    path) and return the output md5. Also runs the gop-sharded itx
-    check on the first inter frame's real coefficients."""
-    import os
+def _decode_md5(data: bytes, settings) -> str:
     from ..bitstream.ivf import IvfReader
     from ..decoder import ObuStreamDecoder
     from ..utils.muxers import Md5Muxer
-    from ..ops import lf_ref
+    dec = ObuStreamDecoder(settings=settings)
+    mux = Md5Muxer()
+    for fr in IvfReader(data):
+        for _p, pic in dec.decode_temporal_unit(fr.data):
+            if pic is not None:
+                mux.write_picture(pic)
+    return mux._md5.hexdigest()
 
-    prev = os.environ.get("DAV1D_TPU_BACKEND")
-    os.environ["DAV1D_TPU_BACKEND"] = "numpy"
-    orig = lf_ref.apply_deblock
-    itx_checked = [False]
 
-    def patched(pic, plan):
-        if not itx_checked[0] and plan.coefs:
-            itx_sharded_check(plan, pic.bpc, mesh)
-            itx_checked[0] = True
-        deblock_sharded(pic, plan, mesh)
-
-    lf_ref.apply_deblock = patched
-    try:
-        dec = ObuStreamDecoder()
-        mux = Md5Muxer()
-        for fr in IvfReader(data):
-            for _p, pic in dec.decode_temporal_unit(fr.data):
-                if pic is not None:
-                    mux.write_picture(pic)
-        return mux._md5.hexdigest()
-    finally:
-        lf_ref.apply_deblock = orig
-        if prev is None:
-            os.environ.pop("DAV1D_TPU_BACKEND", None)
-        else:
-            os.environ["DAV1D_TPU_BACKEND"] = prev
+def sharded_decode_md5(data: bytes, mesh) -> str:
+    """Decode an IVF stream on the DEVICE backend with the whole
+    Stage-B pixel pipeline (MC passes A-D, deblock, CDEF, super-res,
+    loop restoration) column-sharded over the mesh's devices
+    (recon/sharded_stageb.py) and return the output md5. The
+    gop-sharded itx psum check (itx_sharded_check) is exercised
+    separately by tests/test_multichip.py."""
+    from ..api import Settings
+    return _decode_md5(data, Settings(n_threads=1, sharding_mesh=mesh))
 
 
 def single_device_md5(data: bytes) -> str:
-    """Golden single-device decode md5 (host numpy path)."""
-    import os
-    from ..bitstream.ivf import IvfReader
-    from ..decoder import ObuStreamDecoder
-    from ..utils.muxers import Md5Muxer
-    prev = os.environ.get("DAV1D_TPU_BACKEND")
-    os.environ["DAV1D_TPU_BACKEND"] = "numpy"
-    try:
-        dec = ObuStreamDecoder()
-        mux = Md5Muxer()
-        for fr in IvfReader(data):
-            for _p, pic in dec.decode_temporal_unit(fr.data):
-                if pic is not None:
-                    mux.write_picture(pic)
-        return mux._md5.hexdigest()
-    finally:
-        if prev is None:
-            os.environ.pop("DAV1D_TPU_BACKEND", None)
-        else:
-            os.environ["DAV1D_TPU_BACKEND"] = prev
+    """Single-device decode md5 on the DEVICE backend (the sharded
+    decode's oracle; the device backend itself is validated against
+    the golden host path and the reference binary by the e2e suite)."""
+    from ..api import Settings
+    return _decode_md5(data, Settings(n_threads=1))

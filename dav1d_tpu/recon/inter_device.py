@@ -94,6 +94,8 @@ class DeviceInterReconstructor(InterReconstructor):
         self.leftovers = []
         self.had_eager = False   # a _RetryEager replay wrote host pixels
         self._fused_res = bool(plan.native_tiles)
+        self._lo_region = None   # (r0, r1) luma rows the host replay
+        self._region_spans = None  # needs; None = whole-plane fetch
 
     # -- rollback ---------------------------------------------------------
     def _snapshot(self):
@@ -254,6 +256,30 @@ class DeviceInterReconstructor(InterReconstructor):
                 plane[ppy:ppy + t_dim.h * 4, ppx:ppx + t_dim.w * 4],
                 cb, bd)
 
+    def _leftover_region(self, lo):
+        """Luma row span the host leftover replay touches: block rects
+        plus the intra edge reach (1 row above; the left edge extends
+        up to 2*h below the block top, ipred_prepare_tmpl.c:75-203).
+        Fetching/uploading just these rows instead of whole planes cuts
+        the mid-frame tunnel round trip to the intra-cluster size."""
+        from ..entropy import native_tile as nt
+        from ..entropy import levels as lv
+        tiles_rec = self.plan.native_tiles
+        ymin, ymax = 1 << 30, 0
+        for tidx in np.unique(lo[:, 2]):
+            tr = tiles_rec[tidx]
+            li = lo[lo[:, 2] == tidx, 0] - tr["block_base"]
+            blocks = tr["blocks"]
+            by = blocks[li, nt.BF_BY].astype(np.int64)
+            bs = blocks[li, nt.BF_BS]
+            bh4 = np.asarray(lv.block_dimensions)[bs, 1].astype(np.int64)
+            ymin = min(ymin, int((by * 4).min()))
+            ymax = max(ymax, int((by * 4 + bh4 * 12).max()))
+        Hp = self.pic.planes[0].shape[0]
+        r0 = max(0, ymin - 8) & ~7
+        r1 = min(Hp, (ymax + 15) & ~7)
+        return r0, r1
+
     # -- native-emitter walk (native/interjobs.cpp) -----------------------
     def run_native(self, jobs):
         """Execute pre-collected job tables from the native emitter;
@@ -266,6 +292,8 @@ class DeviceInterReconstructor(InterReconstructor):
         lo = jobs["leftovers"]
         self.leftovers = lo.tolist()
         self.had_eager = False
+        if len(lo):
+            self._lo_region = self._leftover_region(np.asarray(lo))
         self._execute()
 
         if not len(lo):
@@ -314,6 +342,19 @@ class DeviceInterReconstructor(InterReconstructor):
                     self.tl_4x4_filter = tlf
                     replay(gi, tr)
             flush()
+        if self._region_spans is not None and self.pic.dev is not None:
+            # upload the replayed rows back into the device-resident
+            # planes (native dtype over the tunnel, widen on device)
+            jax = jax_mod()
+            jnp = jax.numpy
+            with device_scope(), timing.phase("inter.region_upload"):
+                devs = list(self.pic.dev)
+                for i, (hp, (a, b)) in enumerate(
+                        zip(self.pic.planes, self._region_spans)):
+                    up = jnp.asarray(np.asarray(hp[a:b]))
+                    devs[i] = devs[i].at[a:b].set(up.astype(jnp.int32))
+                self.pic.dev = devs
+                self.pic.host_stale = True
         return self.pic
 
     # -- walk -------------------------------------------------------------
@@ -675,16 +716,39 @@ class DeviceInterReconstructor(InterReconstructor):
             # Leftover blocks (intra/interintra/scaled) run the golden
             # host path next, so they need the host pixels: cast on
             # device (4x fewer tunnel bytes) and overlap the per-plane
-            # transfers. Frames with no leftovers skip the round trip
-            # entirely — the planes stay device-resident (Picture.dev)
-            # and the filter chain consumes them in place.
+            # transfers. With the native emitter the replay's row span
+            # is known, so only those rows round-trip (the planes stay
+            # device-resident and the replayed rows upload back in
+            # run_native). Frames with no leftovers skip the transfer
+            # entirely.
             if self.leftovers or self.res_fixups:
                 from ..ops.backend import fetch_all
-                with timing.phase("inter.fetch"):
-                    casts = [pl.astype(hp.dtype)
-                             for hp, pl in zip(self.pic.planes, planes)]
-                    for hp, a in zip(self.pic.planes, fetch_all(casts)):
-                        hp[:] = a
+                region = self._lo_region if not self.res_fixups else None
+                if region is not None:
+                    r0, r1 = region
+                    with timing.phase("inter.fetch_region"):
+                        spans, casts = [], []
+                        for i, (hp, pl) in enumerate(
+                                zip(self.pic.planes, planes)):
+                            ssv = self.pic.ss_ver if i else 0
+                            a, b = r0 >> ssv, min(hp.shape[0], r1 >> ssv)
+                            spans.append((a, b))
+                            casts.append(pl[a:b].astype(hp.dtype))
+                        for hp, (a, b), arr in zip(self.pic.planes,
+                                                   spans,
+                                                   fetch_all(casts)):
+                            hp[a:b] = arr
+                    self._region_spans = spans
+                    self.pic.dev = planes
+                else:
+                    self._lo_region = None
+                    with timing.phase("inter.fetch"):
+                        casts = [pl.astype(hp.dtype)
+                                 for hp, pl in zip(self.pic.planes,
+                                                   planes)]
+                        for hp, a in zip(self.pic.planes,
+                                         fetch_all(casts)):
+                            hp[:] = a
             else:
                 self.pic.dev = planes
                 self.pic.host_stale = True

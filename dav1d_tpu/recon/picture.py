@@ -44,7 +44,7 @@ class Picture:
                  "ss_hor", "ss_ver", "content_light", "mastering_display",
                  "itut_t35", "seq_hdr", "frame_hdr", "props",
                  "allocator", "allocator_data", "dev", "host_stale",
-                 "pending_fetch")
+                 "pending_fetch", "dev_grid")
 
     _NAMES = {0: "I400", 1: "I420", 2: "I422", 3: "I444"}
 
@@ -72,6 +72,9 @@ class Picture:
         # recon and the output fetch).
         self.dev = None
         self.host_stale = False
+        # sharded decode: dev arrays live on the multi-chip shard grid
+        # (column-sharded, shard-width padded) rather than plane-shaped
+        self.dev_grid = False
         # in-flight device->host transfer (down-cast device arrays with
         # copy_to_host_async issued); materialized by fetch_pic_host at
         # the first host consumer — the Stage-B worker never blocks on
