@@ -4,9 +4,11 @@ device configs is the multi-chip test strategy)."""
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard override (not setdefault): the driver environment exports
+# JAX_PLATFORMS=axon, and a wedged tunnel would hang every test
+os.environ["JAX_PLATFORMS"] = "cpu"
 # the axon TPU plugin ignores JAX_PLATFORMS; pin device kernels to host
-os.environ.setdefault("DAV1D_TPU_DEVICE", "cpu")
+os.environ["DAV1D_TPU_DEVICE"] = "cpu"
 # tests never use the tunneled TPU, and a wedged tunnel hangs plugin
 # discovery for EVERY jax import — unregister the plugin path entirely
 # so the suite is immune to tunnel state (observed mid-round)
