@@ -77,7 +77,20 @@ class ObuStreamDecoder:
         self._tile_pool = None        # lazy Stage-A tile thread pool
         if do_recon and self.n_threads > 1:
             from .parallel.executor import ReconPipeline
-            self.pipeline = ReconPipeline()
+            from .ops.backend import device_enabled
+            # Stage-B depth: 2 frames in flight on the device backend
+            # (output fetch of frame N rides under compute of N+1);
+            # the golden numpy backend keeps the single in-order
+            # worker (its ref-plane fetches mutate shared host state).
+            # Settings.max_frame_delay caps it like the reference's
+            # n_fc derivation (lib.c:109-126).
+            depth = 2 if device_enabled() else 1
+            mfd = self.settings.max_frame_delay
+            if mfd and mfd > 0:
+                depth = max(1, min(depth, mfd))
+            if _os.environ.get("DAV1D_TPU_STAGEB_DEPTH"):
+                depth = max(1, int(_os.environ["DAV1D_TPU_STAGEB_DEPTH"]))
+            self.pipeline = ReconPipeline(depth)
 
     def _split_tiles(self, fh) -> list:
         tiles = []
@@ -557,11 +570,14 @@ class ObuStreamDecoder:
         pic = out_view = out_pic = None
         if self.do_recon and coder_factory is None:
             if self.pipeline is not None:
-                promise = self.pipeline.submit(
-                    lambda: self._recon_and_finish(plan, refp, fh, seq,
-                                                   key_or_intra))
-                pic = self.pipeline.view(promise, 0)
-                out_view = self.pipeline.view(promise, 1)
+                # split submit: the ref promise resolves when the
+                # reconstruction+filter chain is enqueued, so the next
+                # frame's Stage B overlaps this frame's output fetch /
+                # film grain (reference n_fc>1 frame threading,
+                # coarsened to whole frames)
+                pic, out_view = self.pipeline.submit_split(
+                    lambda: self._recon_split(plan, refp, fh, seq,
+                                              key_or_intra))
             else:
                 pic, out_pic = self._recon_and_finish(plan, refp, fh, seq,
                                                       key_or_intra)
@@ -589,7 +605,15 @@ class ObuStreamDecoder:
         """Stage B for one frame: reconstruction, in-loop filters,
         super-res, film grain, output gating. Runs inline or on the
         pipeline worker; returns (reference_pic, output_pic_or_None)."""
-        from .parallel.executor import resolve
+        pic, finish = self._recon_split(plan, refp, fh, seq,
+                                        key_or_intra)
+        return pic, finish()
+
+    def _recon_split(self, plan, refp, fh, seq, key_or_intra):
+        """Two-phase Stage B: phase 1 (run here) produces the
+        reference picture — after it, dependent frames may start;
+        the returned finish() computes the output picture (invisible
+        gating + out-of-loop film grain)."""
         from .recon import picture as picture_mod
         alloc_token = None
         if self.settings.allocator is not None:
@@ -599,11 +623,29 @@ class ObuStreamDecoder:
             alloc_token = picture_mod.set_picture_allocator(
                 self.settings.allocator)
         try:
-            return self._recon_and_finish_inner(plan, refp, fh, seq,
-                                                key_or_intra)
-        finally:
+            pic = self._recon_and_finish_inner(plan, refp, fh, seq,
+                                               key_or_intra)
+        except BaseException:
             if alloc_token is not None:
                 picture_mod.reset_picture_allocator(alloc_token)
+            raise
+
+        def finish():
+            try:
+                out_pic = pic
+                if not fh.show_frame and \
+                        not self.settings.output_invisible_frames:
+                    out_pic = None   # invisible: decode, don't emit
+                if out_pic is not None and fh.film_grain_present and \
+                        self.settings.apply_grain:
+                    # grain is out-of-loop: output copy, refs stay clean
+                    out_pic = self._apply_grain(pic, fh, seq)
+                return out_pic
+            finally:
+                if alloc_token is not None:
+                    picture_mod.reset_picture_allocator(alloc_token)
+
+        return pic, finish
 
     def _recon_and_finish_inner(self, plan, refp, fh, seq, key_or_intra):
         from .parallel.executor import resolve
@@ -666,15 +708,7 @@ class ObuStreamDecoder:
             fetch_pic_host(pic)
         pic.seq_hdr = seq
         pic.frame_hdr = fh
-        out_pic = pic
-        if not fh.show_frame and \
-                not self.settings.output_invisible_frames:
-            out_pic = None           # invisible frame: decode, don't emit
-        if out_pic is not None and fh.film_grain_present and \
-                self.settings.apply_grain:
-            # grain is out-of-loop: output copy only, refs stay clean
-            out_pic = self._apply_grain(pic, fh, seq)
-        return pic, out_pic
+        return pic
 
     @staticmethod
     def _apply_grain(pic, fh, seq):

@@ -354,6 +354,134 @@ def z2_fn(n, w, h, bd, up_above, up_left):
 
 
 @lru_cache(maxsize=None)
+def filter_fn(n, w, h, bd):
+    """FILTER_PRED (reference ipred_tmpl.c:620-659): 4x2 sub-blocks
+    with a raster wavefront dependency (left/top outputs feed the next
+    sub-block). The walk is static (w/4 * h/2 steps, unrolled in the
+    jitted program); each step is a batched (n, 8)x(7,) tap MAC over
+    the whole job batch, so the VPU sees n-wide lanes, not scalars.
+    Per-job taps arrive as data ((n, 8, 7), gathered from the 5 filter
+    kinds host-side). Returns (n, h, w) int32."""
+    jax = jax_mod()
+    jnp = jax.numpy
+    bd_max = (1 << bd) - 1
+
+    def fn(edges, taps):
+        out = {}
+        for y in range(0, h, 2):
+            for x in range(0, w, 4):
+                if y == 0:
+                    p0 = edges[:, C + x]
+                    p1 = edges[:, C + 1 + x]
+                    p2 = edges[:, C + 2 + x]
+                    p3 = edges[:, C + 3 + x]
+                    p4 = edges[:, C + 4 + x]
+                else:
+                    p0 = out[(y - 1, x - 1)] if x else edges[:, C - y]
+                    p1 = out[(y - 1, x)]
+                    p2 = out[(y - 1, x + 1)]
+                    p3 = out[(y - 1, x + 2)]
+                    p4 = out[(y - 1, x + 3)]
+                if x:
+                    p5 = out[(y, x - 1)]
+                    p6 = out[(y + 1, x - 1)]
+                else:
+                    p5 = edges[:, C - (y + 1)]
+                    p6 = edges[:, C - (y + 2)]
+                ps = jnp.stack([p0, p1, p2, p3, p4, p5, p6], 1)  # (n,7)
+                acc = (jnp.einsum("nkp,np->nk", taps, ps) + 8) >> 4
+                acc = jnp.clip(acc, 0, bd_max)
+                for fi in range(8):
+                    yy = y + (fi >> 2)
+                    xx = x + (fi & 3)
+                    out[(yy, xx)] = acc[:, fi]
+        rows = [jnp.stack([out[(yy, xx)] for xx in range(w)], 1)
+                for yy in range(h)]
+        return jnp.stack(rows, 1)
+
+    return jax.jit(fn)
+
+
+def filter_taps(filt_idx):
+    """(8, 7) int32 tap matrix for one filter kind (host-side, used to
+    build the per-job taps input of filter_fn)."""
+    from . import ipred_ref as r
+    return np.asarray(r._filter_tap_matrix(filt_idx), np.int32)
+
+
+@lru_cache(maxsize=None)
+def cfl_fn(n, cw, ch, ss_hor, ss_ver, bd):
+    """Chroma-from-luma, one fused kernel per chroma geometry: batched
+    ac extraction (reference ipred_tmpl.c:661-720) from the current
+    device luma plane + DC from the chroma edges + alpha scaling
+    (ipred_tmpl.c:91-104). jobs (n, 6) int32 columns:
+    (ypy, ypx, nh, nw, alpha, dcmode). Returns (n, ch, cw)."""
+    jax = jax_mod()
+    jnp = jax.numpy
+    half = (1 << bd) >> 1
+    bd_max = (1 << bd) - 1
+    log2sz = (cw.bit_length() - 1) + (ch.bit_length() - 1)
+    ctz = ((cw + ch) & -(cw + ch)).bit_length() - 1
+    if cw != ch:
+        if bd == 8:
+            mult = 0x3334 if (cw > ch * 2 or ch > cw * 2) else 0x5556
+            msh = 16
+        else:
+            mult = 0x6667 if (cw > ch * 2 or ch > cw * 2) else 0xAAAB
+            msh = 17
+    else:
+        mult, msh = 1, 0
+    H, W = ch << ss_ver, cw << ss_hor
+    shift = 1 + (not ss_ver) + (not ss_hor)
+
+    def fn(y_plane, edges, jobs):
+        ypy, ypx = jobs[:, 0], jobs[:, 1]
+        nh, nw = jobs[:, 2], jobs[:, 3]
+        alpha, mode = jobs[:, 4], jobs[:, 5]
+        rows = ypy[:, None] + jnp.arange(H, dtype=jnp.int32)[None, :]
+        cols = ypx[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+        src = y_plane[rows[:, :, None], cols[:, None, :]]    # (n, H, W)
+        blk = src[:, ::1 << ss_ver, ::1 << ss_hor]
+        if ss_hor:
+            blk = blk + src[:, ::1 << ss_ver, 1::2]
+        if ss_ver:
+            blk = blk + src[:, 1::2, ::1 << ss_hor]
+            if ss_hor:
+                blk = blk + src[:, 1::2, 1::2]
+        blk = blk << shift
+        # pad-replicate at the POST-SUM granularity (ipred_tmpl.c ac
+        # loops copy whole summed entries, not source pixels)
+        bi = jnp.minimum(jnp.arange(ch)[None, :], nh[:, None] - 1)
+        bj = jnp.minimum(jnp.arange(cw)[None, :], nw[:, None] - 1)
+        ac = blk[jnp.arange(n)[:, None, None], bi[:, :, None],
+                 bj[:, None, :]]
+        total = (jnp.sum(ac, axis=(1, 2)) + ((1 << log2sz) >> 1)) \
+            >> log2sz
+        ac = ac - total[:, None, None]
+
+        r = _lv()
+        top = edges[:, C + 1:C + 1 + cw]
+        left = edges[:, C - ch:C]
+        sum_t = jnp.sum(top, axis=1)
+        sum_l = jnp.sum(left, axis=1)
+        dc = (sum_t + sum_l + ((cw + ch) >> 1)) >> ctz
+        if mult != 1:
+            dc = (dc * mult) >> msh
+        dc_top = (sum_t + (cw >> 1)) >> (cw.bit_length() - 1)
+        dc_left = (sum_l + (ch >> 1)) >> (ch.bit_length() - 1)
+        dc = jnp.where(mode == r.DC_128_PRED, half,
+                       jnp.where(mode == r.TOP_DC_PRED, dc_top,
+                                 jnp.where(mode == r.LEFT_DC_PRED,
+                                           dc_left, dc)))
+        diff = alpha[:, None, None] * ac
+        v = (jnp.abs(diff) + 32) >> 6
+        v = jnp.where(diff < 0, -v, v)
+        return jnp.clip(dc[:, None, None] + v, 0, bd_max)
+
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
 def scatter_pred_fn(n, w, h):
     """Scatter (n, h, w) predictions into the plane at per-job (py, px)
     (padding rows carry py=px OOB and drop)."""

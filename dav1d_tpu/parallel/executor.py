@@ -95,23 +95,69 @@ def resolve(pic):
 
 
 class ReconPipeline:
-    """Single in-order Stage-B worker (see module docstring)."""
+    """In-order Stage-B worker pool with bounded depth.
 
-    def __init__(self):
-        self._pool = ThreadPoolExecutor(max_workers=1,
+    depth=1 reproduces the single in-order worker. depth>=2 keeps
+    multiple Stage-B frames in flight (the whole-frame coarsening of
+    the reference's n_fc frame contexts, thread_task.c:409-436): frame
+    N+1's Stage B starts as soon as a worker frees up and blocks only
+    on the REF-READY promise of its reference frames — which resolves
+    when frame N's reconstruction+filter chain has been *enqueued* on
+    the device (split submit), not when its output fetch / film grain
+    finished. With XLA's async dispatch that lets frame N's D2H ride
+    under frame N+1's compute. Submission applies backpressure at
+    `depth` queued frames (the reference gates on max_frame_delay the
+    same way, lib.c:109-126)."""
+
+    def __init__(self, depth: int = 1):
+        self.depth = max(1, depth)
+        self._pool = ThreadPoolExecutor(max_workers=self.depth,
                                         thread_name_prefix="stageb")
+        self._slots = threading.Semaphore(self.depth)
 
     def submit(self, job) -> FramePromise:
+        """Single-phase submit: promise resolves with job()'s value."""
         promise = FramePromise()
+        self._slots.acquire()
 
         def run():
             try:
                 promise.set_result(job())
             except BaseException as e:          # surfaced at result()
                 promise.set_exception(e)
+            finally:
+                self._slots.release()
 
         self._pool.submit(run)
         return promise
+
+    def submit_split(self, job):
+        """Two-phase submit: job() returns (ref_value, finish_fn).
+        Returns (ref_promise, out_promise); ref_promise resolves with
+        ref_value as soon as phase 1 is done (references may proceed),
+        out_promise resolves with finish_fn()'s value."""
+        ref_promise = FramePromise()
+        out_promise = FramePromise()
+        self._slots.acquire()
+
+        def run():
+            try:
+                ref_value, finish = job()
+                ref_promise.set_result(ref_value)
+            except BaseException as e:
+                ref_promise.set_exception(e)
+                out_promise.set_exception(e)
+                self._slots.release()
+                return
+            try:
+                out_promise.set_result(finish())
+            except BaseException as e:
+                out_promise.set_exception(e)
+            finally:
+                self._slots.release()
+
+        self._pool.submit(run)
+        return ref_promise, out_promise
 
     def view(self, promise, idx):
         return _View(promise, idx)

@@ -96,6 +96,9 @@ class DeviceInterReconstructor(InterReconstructor):
         self._fused_res = bool(plan.native_tiles)
         self._lo_region = None   # (r0, r1) luma rows the host replay
         self._region_spans = None  # needs; None = whole-plane fetch
+        self._dev_lo = None      # device leftover plan (ipred_device)
+        self._cf_pool_dev = None  # pass-D coefficient pool, reused by
+        self._cf_bases = None     # the device leftover residuals
 
     # -- rollback ---------------------------------------------------------
     def _snapshot(self):
@@ -293,10 +296,22 @@ class DeviceInterReconstructor(InterReconstructor):
         self.leftovers = lo.tolist()
         self.had_eager = False
         if len(lo):
-            self._lo_region = self._leftover_region(np.asarray(lo))
+            # device leftover path: all-intra leftovers run as
+            # dependency-levelized device batches after the inter
+            # passes — no mid-frame D2H round trip (VERDICT r2 item 5)
+            from . import ipred_device
+            with timing.phase("inter.lo_build"):
+                self._dev_lo = ipred_device.build(self, self.leftovers)
+            if self._dev_lo is None:
+                self._lo_region = self._leftover_region(np.asarray(lo))
         self._execute()
 
         if not len(lo):
+            return self.pic
+        if self._dev_lo is not None:
+            from . import ipred_device
+            with timing.phase("inter.lo_device"):
+                ipred_device.execute(self, self._dev_lo)
             return self.pic
         from ..entropy import native_tile as nt
         from . import intra_native
@@ -703,6 +718,7 @@ class DeviceInterReconstructor(InterReconstructor):
                 with timing.phase("inter.upload_cf"):
                     pool = jnp.asarray(pool_np)
                     _sync(pool)
+                self._cf_pool_dev, self._cf_bases = pool, bases
                 cfoff = (bases[res[:, 6]] + res[:, 5]).astype(np.int32)
                 jobs6 = np.concatenate([res[:, :5], cfoff[:, None]], 1)
                 for krow, sub in groups(jobs6, [0, 1, 2]):
@@ -721,7 +737,8 @@ class DeviceInterReconstructor(InterReconstructor):
             # device-resident and the replayed rows upload back in
             # run_native). Frames with no leftovers skip the transfer
             # entirely.
-            if self.leftovers or self.res_fixups:
+            if (self.leftovers and self._dev_lo is None) or \
+                    self.res_fixups:
                 from ..ops.backend import fetch_all
                 region = self._lo_region if not self.res_fixups else None
                 if region is not None:

@@ -86,6 +86,56 @@ def test_z1_z3(w, h, mode):
             assert np.array_equal(out[i], ref), (i, a, upsample)
 
 
+@pytest.mark.parametrize("w,h", [(4, 4), (8, 8), (16, 8), (32, 16)])
+@pytest.mark.parametrize("bd", [8, 10])
+def test_filter(w, h, bd):
+    rng = np.random.default_rng(hash((w, h, bd, "f")) & 0xffff)
+    n = 8
+    edges = _rand_edges(rng, n, bd)
+    fidx = rng.integers(0, 5, n).astype(np.int32)
+    taps = np.stack([ipred.filter_taps(int(i)) for i in fidx])
+    fn = ipred.filter_fn(n, w, h, bd)
+    out = np.asarray(fn(edges, taps))
+    for i in range(n):
+        e = ipred_ref.Edge()
+        e.buf[:] = edges[i]
+        ref = ipred_ref.ipred_filter(e, w, h, int(fidx[i]), bd)
+        assert np.array_equal(out[i], ref), i
+
+
+@pytest.mark.parametrize("cw,ch,ssh,ssv", [(4, 4, 1, 1), (8, 16, 1, 1),
+                                           (16, 8, 1, 0), (16, 16, 0, 0),
+                                           (32, 32, 1, 1)])
+@pytest.mark.parametrize("bd", [8, 10])
+def test_cfl(cw, ch, ssh, ssv, bd):
+    rng = np.random.default_rng(hash((cw, ch, ssh, ssv, bd)) & 0xffff)
+    n = 8
+    Hp, Wp = 256, 256
+    y_plane = rng.integers(0, 1 << bd, (Hp, Wp)).astype(np.int32)
+    edges = _rand_edges(rng, n, bd)
+    jobs = np.zeros((n, 6), np.int32)
+    dc_modes = [ipred_ref.DC_PRED, ipred_ref.DC_128_PRED,
+                ipred_ref.TOP_DC_PRED, ipred_ref.LEFT_DC_PRED]
+    for i in range(n):
+        jobs[i, 0] = int(rng.integers(0, Hp - (ch << ssv)))   # ypy
+        jobs[i, 1] = int(rng.integers(0, Wp - (cw << ssh)))   # ypx
+        jobs[i, 2] = int(rng.integers(1, ch // 4 + 1)) * 4    # nh
+        jobs[i, 3] = int(rng.integers(1, cw // 4 + 1)) * 4    # nw
+        jobs[i, 4] = int(rng.integers(-16, 17)) or 1          # alpha
+        jobs[i, 5] = dc_modes[i % 4]
+    fn = ipred.cfl_fn(n, cw, ch, ssh, ssv, bd)
+    out = np.asarray(fn(y_plane, edges, jobs))
+    for i in range(n):
+        ypy, ypx, nh, nw, alpha, mode = (int(v) for v in jobs[i])
+        ac = ipred_ref.cfl_ac(y_plane, ypy, ypx, ssh, ssv,
+                              (cw - nw) // 4, (ch - nh) // 4, cw, ch)
+        e = ipred_ref.Edge()
+        e.buf[:] = edges[i]
+        dc = ipred_ref.cfl_dc(mode, e, cw, ch, bd)
+        ref = ipred_ref.cfl_pred(dc, ac, alpha, cw, ch, bd)
+        assert np.array_equal(out[i], ref), i
+
+
 @pytest.mark.parametrize("w,h", [(4, 4), (8, 16), (16, 8)])
 def test_z2(w, h):
     bd = 8
