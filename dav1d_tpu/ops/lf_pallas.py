@@ -1,0 +1,227 @@
+"""Deblocking filter — hand-written Pallas TPU kernel.
+
+The XLA whole-plane formulation (ops/lf.py) extracts every tap with a
+stride-4 lane slice (``P[:, PAD+o::4]``), which XLA:TPU lowers through
+gathers/relayouts — measured ~10ms per 1080p frame, the single largest
+device cost (tools/benchkernels.py). This module owns that data
+movement instead:
+
+  Phase-split layout. The padded plane (H, 4*Wq) is reshaped once (in
+  the XLA prologue) into four phase slabs ph[p][r, q] = plane[r, 4q+p],
+  stacked as one (4, H, Wq) array whose minor two dims are hardware
+  tiles ((8,128) for int32, Wq lane-padded to 128). Edge x sits at
+  phase column q = x+2; the reference tap p_i/q_j at plane offset
+  o = 4s+p from the edge becomes a STATIC LANE SHIFT by s in
+  {-2,-1,0,1} of slab p — no strided access anywhere, the exact
+  pattern Mosaic vectorizes natively.
+
+  One kernel call = one row band: the four slabs, the per-edge
+  parameter maps (sublane-broadcast x4), the shared filter-value math
+  (lf.filter_values — the SAME formula code as the XLA path, reference
+  src/loopfilter_tmpl.c:37-162), and the phase-select write-back all
+  execute in VMEM and write the band once. Rows are independent within
+  a directional pass (AV1 bounds filter width by transform size, so
+  edge writes never overlap reads), hence no halo between bands.
+
+  The band fan-out is an XLA-level static loop around GRIDLESS
+  pallas_calls rather than a pallas grid: the tunnel's remote Mosaic
+  compile service crashes on ANY kernel with a grid (bisected down to
+  a (32,128)->(32,128) copy kernel with grid=(2,): helper exit 1;
+  the same kernel gridless compiles and runs), and gridless band calls
+  keep VMEM bounded the same way a 1-D grid would.
+
+The horizontal pass runs the same kernel on the transposed plane
+(cols-then-rows order, reference lf_apply_tmpl.c), mirroring the XLA
+path. Dispatch: DAV1D_TPU_LF=pallas|xla|auto (default auto = Pallas on
+a real TPU backend if a probe kernel compiles — else the XLA
+formulation; on CPU the kernel only exists in interpret mode, so auto
+stays XLA and tests force DAV1D_TPU_LF=pallas to validate
+bit-exactness).
+"""
+from __future__ import annotations
+
+import os
+import sys
+from functools import lru_cache
+
+import numpy as np
+
+from .backend import jax_mod
+
+BH = 64          # pixel rows per band call (16 map rows)
+LANES = 128
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _interpret() -> bool:
+    jax = jax_mod()
+    return jax.default_backend() != "tpu" and \
+        os.environ.get("DAV1D_TPU_DEVICE", "") != "tpu"
+
+
+@lru_cache(maxsize=None)
+def _pass_fn(h4, w4, bd, luma, interpret):
+    """One directional pass: fn(plane (4*h4, 4*w4) int32, cls int8
+    (h4, w4), L uint8 (h4, w4), lut_e/lut_i (64,) int32) -> filtered
+    plane. The pallas_call runs on the phase-split layout; the
+    reshape/pad prologue+epilogue and the E/I/H LUT expansion are XLA
+    (device-side, fused around the kernel)."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    sys.setrecursionlimit(max(sys.getrecursionlimit(), 20000))
+    jnp = jax.numpy
+    from . import lf as lf_mod
+
+    H, W = 4 * h4, 4 * w4
+    Wq = _round_up(w4 + 4, LANES)     # phase cols: 2 pad each side min
+    Hp = _round_up(H, BH)
+    h4p = Hp // 4
+    bdm8 = bd - 8
+
+    def kernel(ph_ref, cls_ref, E_ref, I_ref, Hh_ref, out_ref):
+        phs = [ph_ref[p, :, :] for p in range(4)]
+
+        def rep4(m):
+            # sublane broadcast: one map row covers 4 pixel rows
+            return jnp.broadcast_to(m[:, None, :],
+                                    (BH // 4, 4, Wq)).reshape(BH, Wq)
+
+        cls4 = rep4(cls_ref[...])
+        E4 = rep4(E_ref[...])
+        I4 = rep4(I_ref[...])
+        H4 = rep4(Hh_ref[...])
+
+        def shift(a, s):
+            # lane shift: out[:, q] = a[:, q+s] (zero fill)
+            if s == 0:
+                return a
+            z = jnp.zeros((BH, abs(s)), a.dtype)
+            if s > 0:
+                return jnp.concatenate([a[:, s:], z], axis=1)
+            return jnp.concatenate([z, a[:, :s]], axis=1)
+
+        def col(o):
+            p = o & 3
+            return shift(phs[p], (o - p) >> 2)
+
+        vals, masks = lf_mod.filter_values(jnp, col, cls4, E4, I4, H4,
+                                           bd, luma)
+
+        one = np.int32(1)
+        zero = np.int32(0)
+        for p in range(4):
+            cur = phs[p]
+            for o in sorted(vals):
+                if (o & 3) != p:
+                    continue
+                s = (o - p) >> 2
+                # int32 select instead of a bool astype/concat: Mosaic
+                # handles int32 lane shifts natively
+                mk = shift(jnp.where(masks[o], one, zero), -s) != zero
+                cur = jnp.where(mk, shift(vals[o], -s), cur)
+            out_ref[p, :, :] = cur
+
+    # gridless band call (see module docstring: the remote Mosaic
+    # service crashes on any pallas grid; a static XLA loop over
+    # gridless calls is equivalent and keeps VMEM bounded)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((4, BH, Wq), jnp.int32),
+        interpret=interpret,
+    )
+
+    def one_pass(plane, cls, L, lut_e, lut_i):
+        # phase-split prologue: x pad = 2 edge cols (8px) left,
+        # lane-rounding right; row pad to the band size
+        P = jnp.pad(plane.astype(jnp.int32),
+                    ((0, Hp - H), (8, 4 * Wq - W - 8)))
+        ph = P.reshape(Hp, Wq, 4).transpose(2, 0, 1)
+        Li = L.astype(jnp.int32)
+        maps = [
+            jnp.pad(cls.astype(jnp.int32),
+                    ((0, h4p - h4), (2, Wq - w4 - 2)),
+                    constant_values=-1),
+            jnp.take(lut_e, Li) << bdm8,
+            jnp.take(lut_i, Li) << bdm8,
+            (Li >> 4) << bdm8,
+        ]
+        pad0 = lambda a: jnp.pad(a, ((0, h4p - h4), (2, Wq - w4 - 2)))
+        maps[1:] = [pad0(a) for a in maps[1:]]
+        bands = []
+        for b in range(Hp // BH):
+            r0, m0 = b * BH, b * (BH // 4)
+            bands.append(call(
+                ph[:, r0:r0 + BH, :],
+                *[m[m0:m0 + BH // 4, :] for m in maps]))
+        out = bands[0] if len(bands) == 1 else \
+            jnp.concatenate(bands, axis=1)
+        body = out.transpose(1, 2, 0).reshape(Hp, 4 * Wq)
+        return body[:H, 8:8 + W]
+
+    return one_pass
+
+
+@lru_cache(maxsize=None)
+def plane_fn(n4h, n4w, bd, luma):
+    """Drop-in replacement for lf._plane_fn: jitted
+    fn(plane, vmaps, hmaps, lut_e, lut_i) running both directional
+    passes as Pallas kernels (vertical, then horizontal on the
+    transpose)."""
+    jax = jax_mod()
+    interp = _interpret()
+    vpass = _pass_fn(n4h, n4w, bd, luma, interp)
+    hpass = _pass_fn(n4w, n4h, bd, luma, interp)
+
+    def fn(plane, vmaps, hmaps, lut_e, lut_i):
+        plane = vpass(plane, *vmaps, lut_e, lut_i)
+        return hpass(plane.T, *hmaps, lut_e, lut_i).T
+
+    return jax.jit(fn)
+
+
+# --- dispatch ---------------------------------------------------------------
+
+_PROBED = {}
+
+
+def _probe() -> bool:
+    """Compile-probe the real kernel shape class once per process: the
+    tunnel's remote Mosaic service rejects some kernels (documented in
+    ops/mc_pallas.py), so auto mode verifies this one compiles before
+    committing the decode path to it."""
+    key = "ok"
+    if key in _PROBED:
+        return _PROBED[key]
+    try:
+        fn = plane_fn(8, 32, 8, True)
+        cls = np.full((8, 32), 0, np.int8)
+        L = np.full((8, 32), 32, np.uint8)
+        lut = np.arange(64, dtype=np.int32)
+        plane = np.zeros((32, 128), np.int32)
+        np.asarray(fn(plane, (cls, L), (cls.T.copy(), L.T.copy()),
+                      lut, lut))
+        _PROBED[key] = True
+    except Exception as e:                      # Mosaic rejection
+        from ..utils.log import log
+        log(None, f"pallas deblock unavailable ({type(e).__name__}); "
+            f"falling back to the XLA formulation")
+        _PROBED[key] = False
+    return _PROBED[key]
+
+
+def enabled() -> bool:
+    mode = os.environ.get("DAV1D_TPU_LF", "auto")
+    if mode in ("xla", "host", "off"):
+        return False
+    if mode == "pallas":
+        return True
+    # auto: only where the kernel compiles to hardware (a real TPU
+    # backend); interpret mode is a correctness tool, not a decode path
+    if _interpret():
+        return False
+    return _probe()

@@ -35,18 +35,16 @@ SHIFT = 8           # ownership shift for the stitch-back ppermute
 
 
 def _pad_edge_maps(maps, n4h, n4w):
-    cls, E, I, H = maps
+    cls, L = maps
     out_cls = np.full((n4h, n4w), -1, np.int32)
     out_cls[:cls.shape[0], :cls.shape[1]] = cls
-    outs = [out_cls]
-    for a in (E, I, H):
-        o = np.zeros((n4h, n4w), np.int32)
-        o[:a.shape[0], :a.shape[1]] = a
-        outs.append(o)
-    return outs
+    out_l = np.zeros((n4h, n4w), np.int32)
+    out_l[:L.shape[0], :L.shape[1]] = L
+    return [out_cls, out_l]
 
 
-def _shard_plane_deblock(mesh, plane, vmaps, hmaps, bd, luma):
+def _shard_plane_deblock(mesh, plane, vmaps, hmaps, lut_e, lut_i, bd,
+                         luma):
     """Column-sharded single-plane deblock over mesh axis 'tile'.
     plane: (Hp, Wp) int32 numpy. Returns filtered (Hp, Wp) numpy."""
     jax = jax_mod()
@@ -82,7 +80,7 @@ def _shard_plane_deblock(mesh, plane, vmaps, hmaps, bd, luma):
     inner = _plane_fn(n4h, swe + 2 * he, bd, luma)
 
     def shard_fn(pshard, *maps):
-        vms, hms = maps[:4], maps[4:]
+        vms, hms, luts = maps[:2], maps[2:4], maps[4:]
         idx = lax.axis_index("tile")
         # --- halo exchange over ICI ---------------------------------
         left = lax.ppermute(pshard[:, -HALO:], "tile", fwd)
@@ -95,7 +93,7 @@ def _shard_plane_deblock(mesh, plane, vmaps, hmaps, bd, luma):
                   for m in vms]
         hslice = [lax.dynamic_slice(m, (e0, z), (swe + 2 * he, n4h))
                   for m in hms]
-        out_ext = inner(ext, tuple(vslice), tuple(hslice))
+        out_ext = inner(ext, tuple(vslice), tuple(hslice), *luts)
         # --- ownership-shifted stitch-back --------------------------
         # trusted region of this shard: px [P-8, P+sw-8)
         trusted = out_ext[:, HALO - SHIFT:HALO - SHIFT + sw]
@@ -105,11 +103,12 @@ def _shard_plane_deblock(mesh, plane, vmaps, hmaps, bd, luma):
         tail = jnp.where(idx == T - 1, own_tail, recv)
         return jnp.concatenate([trusted[:, SHIFT:], tail], axis=1)
 
-    specs = (P(None, "tile"),) + (P(None, None),) * 8
+    specs = (P(None, "tile"),) + (P(None, None),) * 4 + (P(None),) * 2
     fn = shard_map(shard_fn, mesh=mesh, in_specs=specs,
                    out_specs=P(None, "tile"))
     with mesh:
-        out = jax.jit(fn)(pl, *vm, *hm)
+        out = jax.jit(fn)(pl, *vm, *hm, lut_e.astype(np.int32),
+                          lut_i.astype(np.int32))
         out = np.asarray(out)
     return out[:, :Wp]
 
@@ -134,17 +133,16 @@ def deblock_sharded(pic, plan, mesh) -> None:
     lvl_h = m.lvl[:, :, 1].astype(np.int32)
     yv = _edge_params(m.vcls_y, lvl_v,
                       np.concatenate([lvl_v[:, :1], lvl_v[:, :-1]],
-                                     axis=1), lut_e, lut_i)
+                                     axis=1))
     yv[0][:, 0] = -1
     yh = _edge_params(m.hcls_y, lvl_h,
-                      np.concatenate([lvl_h[:1], lvl_h[:-1]], axis=0),
-                      lut_e, lut_i)
+                      np.concatenate([lvl_h[:1], lvl_h[:-1]], axis=0))
     yh[0][0, :] = -1
     yv = _pad_maps(yv, fh4, fw4)
     yh = _pad_maps(tuple(np.ascontiguousarray(a.T) for a in yh),
                    fw4, fh4)
     res = _shard_plane_deblock(mesh, np.asarray(pic.planes[0], np.int32),
-                               yv, yh, pic.bpc, True)
+                               yv, yh, lut_e, lut_i, pic.bpc, True)
     pic.planes[0][:] = res.astype(pic.planes[0].dtype)
 
     if len(pic.planes) > 1 and (lflf.level_u or lflf.level_v):
@@ -155,18 +153,18 @@ def deblock_sharded(pic, plan, mesh) -> None:
             lvl = m.lvl[:ch4, :cw4, 2 + pl].astype(np.int32)
             pv = _edge_params(m.vcls_uv, lvl,
                               np.concatenate([lvl[:, :1], lvl[:, :-1]],
-                                             axis=1), lut_e, lut_i)
+                                             axis=1))
             pv[0][:, 0] = -1
             ph = _edge_params(m.hcls_uv, lvl,
                               np.concatenate([lvl[:1], lvl[:-1]],
-                                             axis=0), lut_e, lut_i)
+                                             axis=0))
             ph[0][0, :] = -1
             pv = _pad_maps(pv, fh4, fw4)
             ph = _pad_maps(tuple(np.ascontiguousarray(a.T)
                                  for a in ph), fw4, fh4)
             res = _shard_plane_deblock(
                 mesh, np.asarray(pic.planes[1 + pl], np.int32), pv, ph,
-                pic.bpc, False)
+                lut_e, lut_i, pic.bpc, False)
             pic.planes[1 + pl][:] = res.astype(pic.planes[1 + pl].dtype)
 
 

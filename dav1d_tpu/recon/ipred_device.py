@@ -515,6 +515,18 @@ def execute(recon, dplan):
     jax = jax_mod()
     jnp = jax.numpy
     bd = recon.bitdepth
+    if recon.pic.dev is None:
+        # a frame with leftovers but zero inter jobs skips _execute's
+        # plane upload: materialize the device planes here (host pixels
+        # if an eager replay already wrote some, zeros otherwise)
+        with device_scope():
+            if recon.had_eager:
+                recon.pic.dev = [
+                    jnp.asarray(np.asarray(p)).astype(jnp.int32)
+                    for p in recon.pic.planes]
+            else:
+                recon.pic.dev = [jnp.zeros(p.shape, jnp.int32)
+                                 for p in recon.pic.planes]
     planes = list(recon.pic.dev)
     pool = getattr(recon, "_cf_pool_dev", None)
     bases = getattr(recon, "_cf_bases", None)

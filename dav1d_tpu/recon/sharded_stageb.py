@@ -440,7 +440,7 @@ def _deblock_sharded_fn(mesh, Hp, sw, bd, luma):
     SHIFT = 8
 
     def shard_fn(pshard, *maps):
-        vms, hms = maps[:4], maps[4:]
+        vms, hms, luts = maps[:2], maps[2:4], maps[4:]
         idx = lax.axis_index("tile")
         ext = _halo_exchange(jnp, lax, pshard, T)
         e0 = idx * swe
@@ -449,7 +449,7 @@ def _deblock_sharded_fn(mesh, Hp, sw, bd, luma):
                   for m in vms]
         hslice = [lax.dynamic_slice(m, (e0, z), (swe + 2 * he, n4h))
                   for m in hms]
-        out_ext = inner(ext, tuple(vslice), tuple(hslice))
+        out_ext = inner(ext, tuple(vslice), tuple(hslice), *luts)
         # stitch: boundary columns are owned by the left shard's result
         trusted = out_ext[:, HALO - SHIFT:HALO - SHIFT + sw]
         send = trusted[:, :SHIFT]
@@ -459,7 +459,7 @@ def _deblock_sharded_fn(mesh, Hp, sw, bd, luma):
         tail = jnp.where(idx == T - 1, own_tail, recv)
         return jnp.concatenate([trusted[:, SHIFT:], tail], axis=1)
 
-    specs = (P(None, "tile"),) + (P(None, None),) * 8
+    specs = (P(None, "tile"),) + (P(None, None),) * 4 + (P(None),) * 2
     fn = shard_map(shard_fn, mesh=mesh, in_specs=specs,
                    out_specs=P(None, "tile"), check_rep=False)
     return jax.jit(fn)
@@ -482,30 +482,26 @@ def _deblock_maps(plan, kind, grid_h4, grid_w4, m):
         vcls, hcls = m.vcls_uv, m.hcls_uv
     vmaps = _edge_params(vcls, lvl_v,
                          np.concatenate([lvl_v[:, :1], lvl_v[:, :-1]],
-                                        axis=1), lut_e, lut_i)
+                                        axis=1))
     vmaps[0][:, 0] = -1
     hmaps = _edge_params(hcls, lvl_h,
-                         np.concatenate([lvl_h[:1], lvl_h[:-1]], axis=0),
-                         lut_e, lut_i)
+                         np.concatenate([lvl_h[:1], lvl_h[:-1]], axis=0))
     hmaps[0][0, :] = -1
 
     def grow(maps, gh, gw, pad_axis):
-        cls, E, I, H = maps
+        cls, L = maps
         out_cls = np.full((gh, gw), -1, np.int32)
         out_cls[:cls.shape[0], :cls.shape[1]] = cls
-        outs = [out_cls]
-        for a in (E, I, H):
-            o = np.zeros((gh, gw), np.int32)
-            o[:a.shape[0], :a.shape[1]] = a
-            outs.append(o)
+        out_l = np.zeros((gh, gw), np.int32)
+        out_l[:L.shape[0], :L.shape[1]] = L
         pad = ((0, 0), (he, he)) if pad_axis == 1 else ((he, he), (0, 0))
         return [np.pad(a, pad, constant_values=(-1 if i == 0 else 0))
-                for i, a in enumerate(outs)]
+                for i, a in enumerate((out_cls, out_l))]
 
     vm = grow(vmaps, grid_h4, grid_w4, 1)
     hm = grow(tuple(np.ascontiguousarray(a.T) for a in hmaps),
               grid_w4, grid_h4, 0)
-    return vm, hm
+    return vm, hm, (lut_e.astype(np.int32), lut_i.astype(np.int32))
 
 
 def deblock_planes_sharded(planes, plan, bd, mesh):
@@ -521,15 +517,16 @@ def deblock_planes_sharded(planes, plan, bd, mesh):
     out = list(planes)
     if lflf.level_y[0] or lflf.level_y[1]:
         Hp, Wg = planes[0].shape
-        vm, hm = _deblock_maps(plan, 0, Hp // 4, Wg // 4, m)
+        vm, hm, luts = _deblock_maps(plan, 0, Hp // 4, Wg // 4, m)
         fn = _deblock_sharded_fn(mesh, Hp, Wg // T, bd, True)
-        out[0] = fn(planes[0], *vm, *hm)
+        out[0] = fn(planes[0], *vm, *hm, *luts)
     if len(planes) > 1 and (lflf.level_u or lflf.level_v):
         Hp, Wg = planes[1].shape
         fn = _deblock_sharded_fn(mesh, Hp, Wg // T, bd, False)
         for pl in range(2):
-            vm, hm = _deblock_maps(plan, 1 + pl, Hp // 4, Wg // 4, m)
-            out[1 + pl] = fn(planes[1 + pl], *vm, *hm)
+            vm, hm, luts = _deblock_maps(plan, 1 + pl, Hp // 4, Wg // 4,
+                                         m)
+            out[1 + pl] = fn(planes[1 + pl], *vm, *hm, *luts)
     return out
 
 

@@ -71,10 +71,23 @@ def main():
         sync(planes)
 
         # ---- deblock (production entry, real plan maps) --------------
+        # both formulations where available: XLA whole-plane vs the
+        # Pallas phase-split kernel (ops/lf_pallas.py)
         from dav1d_tpu.ops.lf import deblock_planes_device
-        dt = timed(lambda p: deblock_planes_device(list(p), kplan, 8),
-                   (planes,), reps, sync)
-        rows.append(("deblock 3-plane", dt, mpx * 1.5))
+        from dav1d_tpu.ops import lf_pallas
+        lf_modes = ["xla"]
+        if not lf_pallas._interpret() and lf_pallas._probe():
+            lf_modes.append("pallas")
+        prev_lf = os.environ.get("DAV1D_TPU_LF")
+        for mode in lf_modes:
+            os.environ["DAV1D_TPU_LF"] = mode
+            dt = timed(lambda p: deblock_planes_device(list(p), kplan, 8),
+                       (planes,), reps, sync)
+            rows.append((f"deblock 3-plane [{mode}]", dt, mpx * 1.5))
+        if prev_lf is None:
+            os.environ.pop("DAV1D_TPU_LF", None)
+        else:
+            os.environ["DAV1D_TPU_LF"] = prev_lf
 
         # ---- CDEF ----------------------------------------------------
         from dav1d_tpu.ops.cdef import cdef_planes_device

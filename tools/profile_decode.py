@@ -39,8 +39,8 @@ def main():
         sys.argv[1].startswith("-") else None
     if path is None:
         import bench
-        bench._ensure_stream()
-        path = bench.CACHE
+        # default: the primary (1080p 8-bit) bench stream
+        path = bench._ensure_stream(bench.CONFIGS[-1])
     data = open(path, "rb").read()
 
     from dav1d_tpu.bitstream.ivf import IvfReader
