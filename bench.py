@@ -7,18 +7,31 @@ BASELINE primary (1080p 8-bit) LAST:
 
 Both measure full-stream decode fps on the DEFAULT path — device (TPU)
 Stage B, native C++ Stage A, tile-parallel parse, frame pipeline on —
-over synthesized streams with all in-loop filters (deblock + CDEF +
-loop restoration) active. vs_baseline is fps / 60 (the realtime target
-for each class; BASELINE.md: Chimera-class 1080p and 4K60 10-bit).
+over pre-generated streams (bench_streams/, committed) with all
+in-loop filters (deblock + CDEF + loop restoration) active.
+vs_baseline is fps / 60 (the realtime target for each class;
+BASELINE.md: Chimera-class 1080p and 4K60 10-bit).
 
-The decode runs in a child process under a watchdog: the TPU in this
-environment sits behind a tunnel that can wedge indefinitely (observed
-mid-round); if the device run exceeds its budget the bench falls back
-to the same decode on host XLA (axon plugin bypassed) so a number is
-always produced rather than a hang. The first pass decodes the whole
-stream once as warm-up (XLA compiles are amortized by the persistent
-compilation cache across runs); the timed pass measures steady-state
-throughput.
+Robustness contract (round-3 postmortem: the driver's timeout killed
+the bench before a single line printed, rc=124):
+  - streams are loaded from the repo, never generated (generation cost
+    ~minutes at 4K was inside the old budget);
+  - a quick probe child decides whether the TPU/tunnel is usable at
+    all (the axon tunnel has twice been observed to wedge such that
+    every jax client hangs forever);
+  - each decode child prints a progress line per picture; the parent
+    kills it on output inactivity (a mid-decode tunnel wedge) or when
+    its share of the hard TOTAL budget is spent;
+  - a JSON line is ALWAYS printed for each config, best number first
+    available from: device decode, host-XLA decode (axon plugin
+    bypassed), golden numpy decode, or 0.0;
+  - the primary 1080p line prints last (the driver records the last
+    line), the 4K line as soon as it is known.
+
+Throughput is measured steady-state: one full-stream decode, fps over
+the pictures after the first two (jit compiles + pipeline ramp-in are
+paid on the early pictures; the persistent compilation cache makes
+warm TPU runs cheap).
 """
 import json
 import os
@@ -29,15 +42,29 @@ import time
 ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
 
-DEVICE_BUDGET_S = int(os.environ.get("DAV1D_TPU_BENCH_BUDGET", "1800"))
+TOTAL_BUDGET_S = int(os.environ.get("DAV1D_TPU_BENCH_BUDGET", "480"))
+PROBE_TIMEOUT_S = int(os.environ.get("DAV1D_TPU_BENCH_PROBE", "75"))
+# Output inactivity window: first picture may sit behind whole-chain
+# jit compiles; later pictures should tick steadily.
+FIRST_PIC_S = 290
+NEXT_PIC_S = 150
 
 CONFIGS = [
-    # (metric suffix printed first..last; the LAST line is the primary)
-    dict(metric="decode_3840x2160_10b_fps", w=3840, h=2160, n_frames=4,
-         seed=11, qidx=80, hbd=1, budget_frac=0.5),
-    dict(metric="decode_1920x1080_fps", w=1920, h=1080, n_frames=8,
-         seed=7, qidx=100, hbd=0, budget_frac=1.0),
+    # Printed first..last; the LAST line is the primary metric.
+    dict(metric="decode_3840x2160_10b_fps",
+         stream="bench_streams/3840x2160_10b_flt_s11.ivf",
+         budget_frac=0.45),
+    dict(metric="decode_1920x1080_fps",
+         stream="bench_streams/1920x1080_8b_flt_s7.ivf",
+         budget_frac=1.0),
 ]
+
+_PROBE = """
+import jax, jax.numpy as jnp
+x = jnp.ones((128, 128))
+(x @ x).block_until_ready()
+print('PROBE_OK', jax.default_backend(), flush=True)
+"""
 
 _CHILD = """
 import json, os, sys, time
@@ -45,92 +72,145 @@ sys.path.insert(0, %(root)r)
 from dav1d_tpu.api import Decoder, Settings
 from dav1d_tpu.bitstream.ivf import IvfReader
 
-data = open(%(cache)r, 'rb').read()
+data = open(%(stream)r, 'rb').read()
 frames = [fr.data for fr in IvfReader(data)]
 
-def decode():
-    n = 0
-    with Decoder(Settings()) as dec:
-        for fd in frames:
-            dec.send_data(fd)
-        for _pic in dec.pictures():
-            n += 1
-    return n
-
-decode()                        # warm-up: compiles + cache fill
+times = []
 t0 = time.perf_counter()
-n = decode()
-dt = time.perf_counter() - t0
-print('BENCH_RESULT ' + json.dumps({'n': n, 'dt': dt}), flush=True)
+with Decoder(Settings()) as dec:
+    for fd in frames:
+        dec.send_data(fd)
+    for _pic in dec.pictures():
+        times.append(time.perf_counter() - t0)
+        print('PIC %%d %%.3f' %% (len(times), times[-1]), flush=True)
+
+n = len(times)
+skip = min(2, max(0, n - 1))
+if n > skip and times[-1] > times[skip - 1 if skip else 0]:
+    if skip:
+        fps = (n - skip) / (times[-1] - times[skip - 1])
+    else:
+        fps = n / times[-1]
+else:
+    fps = (n / times[-1]) if n and times[-1] > 0 else 0.0
+print('BENCH_RESULT ' + json.dumps({'n': n, 'fps': fps}), flush=True)
 """
 
 
-def _stream_path(cfg):
-    if cfg["hbd"] == 0:      # round-2 cache name, kept for reuse
-        return f"/tmp/dav1d_tpu_bench_{cfg['w']}x{cfg['h']}_flt_{cfg['seed']}.ivf"
-    return (f"/tmp/dav1d_tpu_bench_{cfg['w']}x{cfg['h']}"
-            f"_hbd{cfg['hbd']}_flt_{cfg['seed']}.ivf")
-
-
-def _ensure_stream(cfg):
-    path = _stream_path(cfg)
-    if os.path.exists(path):
-        return path
-    from tools.streamgen.gen import generate_stream
-    data, _ = generate_stream(cfg["w"], cfg["h"], n_frames=cfg["n_frames"],
-                              seed=cfg["seed"], qidx=cfg["qidx"],
-                              hbd=cfg["hbd"], tile_log2_cols=1,
-                              tile_log2_rows=1,
-                              lf_levels=(28, 28, 16, 16),
-                              cdef_params=(2, 1, [9, 25], [5, 13]),
-                              lr_types=(1, 2, 2))
-    with open(path, "wb") as f:
-        f.write(data)
-    return path
-
-
-def _run_child(cache, env, timeout):
-    script = _CHILD % {"root": ROOT, "cache": cache}
+def _run_watched(script, env, deadline):
+    """Run a child; kill on global deadline or output inactivity.
+    Returns the BENCH_RESULT dict, a partial result reconstructed from
+    PIC progress lines (>=4 pictures decoded before the kill), or
+    None."""
+    import selectors
+    proc = subprocess.Popen(
+        [sys.executable, "-u", "-c", script], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+    sel = selectors.DefaultSelector()
+    sel.register(proc.stdout, selectors.EVENT_READ)
+    result = None
+    last_out = time.time()
+    pics = []                                  # (idx, t) progress marks
     try:
-        out = subprocess.run([sys.executable, "-u", "-c", script],
-                             capture_output=True, text=True,
-                             timeout=timeout, env=env)
-    except subprocess.TimeoutExpired:
-        return None
-    for line in out.stdout.splitlines():
-        if line.startswith("BENCH_RESULT "):
-            return json.loads(line[len("BENCH_RESULT "):])
-    return None
+        while True:
+            now = time.time()
+            inact = FIRST_PIC_S if not pics else NEXT_PIC_S
+            limit = min(deadline, last_out + inact)
+            if now >= limit:
+                break
+            if not sel.select(timeout=min(5.0, limit - now)):
+                if proc.poll() is not None:
+                    break
+                continue
+            line = proc.stdout.readline()
+            if not line:
+                if proc.poll() is not None:
+                    break
+                continue
+            last_out = time.time()
+            if line.startswith("PIC "):
+                try:
+                    _, idx, t = line.split()
+                    pics.append((int(idx), float(t)))
+                except ValueError:
+                    pass
+            elif line.startswith("BENCH_RESULT "):
+                result = json.loads(line[len("BENCH_RESULT "):])
+                break
+    finally:
+        sel.close()
+        if proc.poll() is None:
+            proc.kill()
+        try:
+            proc.wait(timeout=10)
+        except Exception:
+            pass
+    if result is None and len(pics) >= 4:
+        # killed mid-stream: steady-state fps over pictures 3..N
+        (i0, t0), (i1, t1) = pics[1], pics[-1]
+        if t1 > t0:
+            result = {"n": i1, "fps": (i1 - i0) / (t1 - t0),
+                      "partial": True}
+    return result
 
 
-def _bench_config(cfg, budget):
-    try:
-        cache = _ensure_stream(cfg)
-    except Exception:
-        return None
-
+def _cpu_env():
     env = dict(os.environ)
-    res = _run_child(cache, env, budget)
+    env.pop("PYTHONPATH", None)          # bypass the axon sitecustomize
+    env["JAX_PLATFORMS"] = "cpu"
+    env["DAV1D_TPU_DEVICE"] = "cpu"
+    return env
 
-    if res is None:
-        # TPU path hung or failed (wedged tunnel): same device program
-        # on host XLA with the axon plugin bypassed
-        env.pop("PYTHONPATH", None)
-        env["JAX_PLATFORMS"] = "cpu"
-        env["DAV1D_TPU_DEVICE"] = "cpu"
-        res = _run_child(cache, env, budget)
 
-    if res is None:
-        # last resort: the golden host-numpy path (jax never imported)
+def _probe_device():
+    """Is the default jax backend (the tunnel TPU) alive at all?"""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-u", "-c", _PROBE],
+            capture_output=True, text=True, timeout=PROBE_TIMEOUT_S,
+            env=dict(os.environ))
+    except subprocess.TimeoutExpired:
+        return False
+    return "PROBE_OK" in out.stdout
+
+
+def _bench_config(cfg, deadline, device_ok):
+    stream = os.path.join(ROOT, cfg["stream"])
+    if not os.path.exists(stream):
+        return None
+    script = _CHILD % {"root": ROOT, "stream": stream}
+
+    res = None
+    if device_ok:
+        # cap the device attempt to leave fallback room; a slow-but-
+        # alive device run still yields a partial result from PIC lines
+        dev_deadline = min(deadline,
+                           time.time() + 0.65 * (deadline - time.time()))
+        res = _run_watched(script, dict(os.environ), dev_deadline)
+    if res is None and time.time() < deadline - 30:
+        # host XLA: same device program, axon plugin bypassed
+        res = _run_watched(script, _cpu_env(), deadline)
+    if res is None and time.time() < deadline - 30:
+        env = _cpu_env()
         env["DAV1D_TPU_BACKEND"] = "numpy"
-        res = _run_child(cache, env, budget)
+        res = _run_watched(script, env, deadline)
     return res
 
 
 def main():
-    for cfg in CONFIGS:
-        res = _bench_config(cfg, int(DEVICE_BUDGET_S * cfg["budget_frac"]))
-        fps = (res["n"] / res["dt"]) if res and res["dt"] > 0 else 0.0
+    t_end = time.time() + TOTAL_BUDGET_S
+    device_ok = _probe_device()
+    if not device_ok:
+        print("bench: device probe failed (wedged tunnel?) — "
+              "falling back to host XLA", file=sys.stderr, flush=True)
+
+    remaining_fracs = [c["budget_frac"] for c in CONFIGS]
+    for i, cfg in enumerate(CONFIGS):
+        left = t_end - time.time()
+        share = left * (remaining_fracs[i] / sum(remaining_fracs[i:]))
+        res = _bench_config(cfg, time.time() + max(30.0, share),
+                            device_ok)
+        fps = res["fps"] if res else 0.0
         print(json.dumps({
             "metric": cfg["metric"],
             "value": round(fps, 3),

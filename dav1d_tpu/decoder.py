@@ -644,6 +644,8 @@ class ObuStreamDecoder:
             finally:
                 if alloc_token is not None:
                     picture_mod.reset_picture_allocator(alloc_token)
+                from .ops.backend import guard_jit_maps
+                guard_jit_maps()
 
         return pic, finish
 

@@ -116,6 +116,28 @@ def fetch_pic_host(pic):
     pic.host_stale = False
 
 
+_MAPS_LIMIT = int(os.environ.get("DAV1D_TPU_MAPS_LIMIT", "55000"))
+
+
+def guard_jit_maps():
+    """Segfault guard for long decodes on XLA:CPU (the TPU-wedged
+    fallback): every compiled CPU executable is an in-memory JIT dylib
+    costing ~17 VM mappings, released only by jax.clear_caches();
+    crossing vm.max_map_count (default 65530) makes the next compile's
+    mmap fail and jaxlib segfault. Called at frame boundaries; no-ops
+    unless jax is loaded and the map count is near the limit (the
+    clear costs recompiles, so the threshold is high)."""
+    if _JAX is None:
+        return
+    try:
+        with open("/proc/self/maps") as f:
+            n = sum(1 for _ in f)
+    except OSError:
+        return
+    if n > _MAPS_LIMIT:
+        _JAX.clear_caches()
+
+
 class device_scope:
     """Context manager: run jax ops on the configured device."""
 

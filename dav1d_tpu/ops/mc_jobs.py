@@ -341,6 +341,100 @@ def comp_jobs_fn(n, H, W, bd, ss_hor, ss_ver, rh, rw, seg_out,
 
 
 @lru_cache(maxsize=None)
+def res_tx_fn(n, tx, bd):
+    """Pass-D residual program with the (row, col) 1-D transform kinds
+    selected at RUNTIME by lax.switch: one compiled program per
+    (tx, batch-bucket, plane-shape) serves every non-WHT txtp.
+
+    Rationale: at 1080p a frame touches hundreds of distinct
+    (plane, tx, txtp) combos; compiling one XLA program per combo (the
+    round-3 res_jobs_fn below) produced a 400s/frame first-run compile
+    wall on host XLA and a large remote-compile surface on the tunnel
+    TPU. Grouping launches by (plane, tx, txtp) but PROGRAMS by
+    (plane, tx) collapses ~450 programs to ~50, and — with fixed batch
+    buckets — makes the compiled-program set stream-independent, so a
+    warm persistent cache serves any content. Semantics are identical:
+    the switch index pair selects the same itx_core butterflies the
+    per-txtp program would have baked in (reference itx_tmpl.c:43-121;
+    kind order DCT/ADST/FLIPADST/IDENTITY as itx_1d.c)."""
+    from ..entropy import levels as lv
+    from . import itx_core
+    from .itx_ref import TX_SHIFT
+    jax = jax_mod()
+    jnp = jax.numpy
+    t_dim = lv.TXFM_INFO[tx]
+    w, h = 4 * t_dim.w, 4 * t_dim.h
+    sw, sh = min(w, 32), min(h, 32)
+    bd_max = (1 << bd) - 1
+    shift = TX_SHIFT[tx]
+    rnd = (1 << shift) >> 1
+    is_rect2 = (w * 2 == h) or (h * 2 == w)
+    if bd == 8:
+        row_min = col_min = -(1 << 15)
+    else:
+        row_min = -(bd_max + 1) << 7
+        col_min = -(bd_max + 1) << 5
+    row_max, col_max = ~row_min, ~col_min
+    lw2, lh2 = t_dim.lw + 2, t_dim.lh + 2
+    row_kinds = res_tx_kinds(tx)[0]
+    col_kinds = res_tx_kinds(tx)[1]
+
+    def _row_branch(kind):
+        f = itx_core.FNS[(lw2, kind)]
+
+        def br(rows):                        # (n, sh, sw) -> (n, sh, w)
+            out = f([rows[:, :, i] for i in range(sw)],
+                    lambda v: jnp.clip(v, row_min, row_max))
+            return jnp.stack(out, axis=2)
+        return br
+
+    def _col_branch(kind):
+        f = itx_core.FNS[(lh2, kind)]
+
+        def br(tmp):                         # (n, sh, w) -> (n, h, w)
+            out = f([tmp[:, i, :] for i in range(sh)],
+                    lambda v: jnp.clip(v, col_min, col_max))
+            return jnp.stack(out, axis=1)
+        return br
+
+    row_brs = [_row_branch(k) for k in row_kinds]
+    col_brs = [_col_branch(k) for k in col_kinds]
+
+    def fn(cfpool, jobs, kidx, plane):
+        off = jobs[:, 5]
+        cf = cfpool[off[:, None] + jnp.arange(sw * sh, dtype=jnp.int32)]
+        rows = cf.reshape(n, sw, sh).transpose(0, 2, 1)
+        if is_rect2:
+            rows = (rows * 181 + 128) >> 8
+        tmp = jax.lax.switch(kidx[0], row_brs, rows)
+        tmp = jnp.clip((tmp + rnd) >> shift, col_min, col_max)
+        res = (jax.lax.switch(kidx[1], col_brs, tmp) + 8) >> 4
+        py, px = jobs[:, 3], jobs[:, 4]
+        drows = jnp.where(py[:, None] >= OOB, OOB, py[:, None] +
+                          jnp.arange(h, dtype=jnp.int32))
+        dcols = jnp.where(px[:, None] >= OOB, OOB, px[:, None] +
+                          jnp.arange(w, dtype=jnp.int32))
+        cur = plane[drows[:, :, None], dcols[:, None, :]].astype(jnp.int32)
+        out = jnp.clip(cur + res, 0, bd_max)
+        return _scatter(plane, drows, dcols, out)
+
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def res_tx_kinds(tx):
+    """(row_kinds, col_kinds): the 1-D transform kinds available for
+    this tx's dimensions, in itx_core kind order (DCT, ADST, FLIPADST,
+    IDENTITY). Launch code maps txtp -> switch indices with .index()."""
+    from ..entropy import levels as lv
+    from . import itx_core
+    t_dim = lv.TXFM_INFO[tx]
+    lw2, lh2 = t_dim.lw + 2, t_dim.lh + 2
+    return ([k for k in range(4) if (lw2, k) in itx_core.FNS],
+            [k for k in range(4) if (lh2, k) in itx_core.FNS])
+
+
+@lru_cache(maxsize=None)
 def res_jobs_fn(n, tx, txtp, bd):
     """Fused inverse transform + residual add + scatter over (n, 6)
     jobs: coefficients gather straight from the uploaded Stage-A pool

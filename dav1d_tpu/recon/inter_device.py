@@ -69,6 +69,41 @@ def _pad_pow2(arr, fill_cols=()):
     return out
 
 
+# Fixed batch buckets: a group pads to the smallest fitting bucket, or
+# splits into largest-bucket chunks (tail re-bucketed). Unlike pow2
+# padding, the set of instantiated batch sizes is CLOSED — so the set
+# of compiled programs is bounded and stream-independent, which keeps
+# the first-run compile wall down and makes a warm persistent
+# compilation cache serve any content (padding lanes drop in-scatter
+# exactly as pow2 padding does).
+MC_BUCKETS = (32, 256, 1024)
+RES_BUCKETS = (16, 64, 256)
+
+
+def _chunk_bounds(n, buckets=MC_BUCKETS):
+    """Yield (start, end, bucket_size) spans covering n rows."""
+    big = buckets[-1]
+    pos = 0
+    while pos < n:
+        take = min(big, n - pos)
+        b = next(bk for bk in buckets if bk >= take)
+        yield pos, pos + take, b
+        pos += take
+
+
+def _chunks(arr, fill_cols=(), buckets=MC_BUCKETS):
+    """Yield fixed-bucket-size padded copies covering a job table."""
+    for s, e, b in _chunk_bounds(len(arr), buckets):
+        sub = arr[s:e]
+        if b != e - s:
+            out = np.zeros((b, arr.shape[1]), np.int32)
+            out[:e - s] = sub
+            for c in fill_cols:
+                out[e - s:, c] = OOB
+            sub = out
+        yield sub
+
+
 class DeviceInterReconstructor(InterReconstructor):
     # collected job layouts (must match ops/mc_jobs.py and
     # native/interjobs.cpp):
@@ -550,6 +585,13 @@ class DeviceInterReconstructor(InterReconstructor):
                 lut[i] = ids[key]
             if not arrs:
                 arrs = [jnp.zeros((8, 8), jnp.int32)]
+            # pad the stack depth to a closed ladder {1,2,4,8}: the
+            # stack is a program operand, so a frame-varying depth
+            # would recompile every MC program each time the set of
+            # distinct reference pictures changes (padding slots just
+            # repeat ref 0; nothing indexes them)
+            while len(arrs) not in (1, 2, 4, 8):
+                arrs.append(arrs[0])
             stacks[plane_idx] = (jnp.stack(arrs), lut)
         return stacks
 
@@ -568,7 +610,16 @@ class DeviceInterReconstructor(InterReconstructor):
         if not parts:
             return np.zeros(1, np.int32), bases
         parts.append(np.zeros(64 * 64, np.int32))   # gather overrun pad
-        return np.concatenate(parts), bases
+        pool = np.concatenate(parts)
+        # pad the pool length to a pow2 ladder: the pool is an operand
+        # of every residual program, so a frame-varying length would
+        # recompile all of pass D each frame (observed: +358s compile
+        # wall on host XLA at frame 4 of the 1080p bench stream)
+        n = 1 << max(14, int(len(pool) - 1).bit_length())
+        if n != len(pool):
+            pool = np.concatenate([pool, np.zeros(n - len(pool),
+                                                  np.int32)])
+        return pool, bases
 
     def _execute(self):
         if not (len(self.puts) or len(self.warps) or len(self.obmc_jobs)
@@ -622,24 +673,24 @@ class DeviceInterReconstructor(InterReconstructor):
                 for krow, sub in groups(aug, [0, 11, 12]):
                     pi, c, isb = int(krow[0]), int(krow[1]), int(krow[2])
                     REF, lut = stacks[pi]
-                    jobs = sub[:, :11].copy()
-                    jobs[:, 5] = lut[jobs[:, 5]]
-                    jobs = _pad_pow2(jobs, fill_cols=(3, 4))
+                    alljobs = sub[:, :11].copy()
+                    alljobs[:, 5] = lut[alljobs[:, 5]]
                     rh, rw = self._ref_bounds(int(bool(pi)))
                     fn = mc_jobs.bilin_jobs_fn if isb else \
                         mc_jobs.put8_jobs_fn
-                    planes[pi] = fn(len(jobs), c, c, bd, rh, rw)(
-                        REF, jobs, planes[pi])
+                    for jobs in _chunks(alljobs, fill_cols=(3, 4)):
+                        planes[pi] = fn(len(jobs), c, c, bd, rh, rw)(
+                            REF, jobs, planes[pi])
             warps = np.asarray(self.warps, np.int32).reshape(-1, 12)
             for krow, sub in groups(warps, [0]):
                 pi = int(krow[0])
                 REF, lut = stacks[pi]
-                jobs = sub.copy()
-                jobs[:, 3] = lut[jobs[:, 3]]
-                jobs = _pad_pow2(jobs, fill_cols=(1, 2))
+                alljobs = sub.copy()
+                alljobs[:, 3] = lut[alljobs[:, 3]]
                 rh, rw = self._ref_bounds(int(bool(pi)))
-                planes[pi] = mc_jobs.warp_jobs_fn(
-                    len(jobs), bd, rh, rw)(REF, jobs, planes[pi])
+                for jobs in _chunks(alljobs, fill_cols=(1, 2)):
+                    planes[pi] = mc_jobs.warp_jobs_fn(
+                        len(jobs), bd, rh, rw)(REF, jobs, planes[pi])
             _sync(planes)
             t_pass.__exit__(None, None, None)
 
@@ -661,30 +712,40 @@ class DeviceInterReconstructor(InterReconstructor):
                         if (pi == 0) != luma:
                             continue
                         REF, lut = stacks[pi]
-                        jobs = np.concatenate(
+                        alljobs = np.concatenate(
                             [sub[:, :9], sub[:, 13:25]], 1)
-                        jobs[:, 14] = lut[jobs[:, 14]]
-                        jobs[:, 20] = lut[jobs[:, 20]]
-                        jobs = _pad_pow2(jobs, fill_cols=(3, 4))
-                        n = len(jobs)
-                        use_msk = bool(np.any(sub[:, 8] == 1))
-                        if use_msk:
-                            msk = np.zeros((n, c, c), np.int8)
-                            for i in np.nonzero(sub[:, 8] == 1)[0]:
-                                h, w = int(sub[i, 1]), int(sub[i, 2])
-                                msk[i, :h, :w] = mc_ref.wedge_mask(
-                                    int(sub[i, 9]), int(sub[i, 10]),
-                                    int(sub[i, 11]), int(sub[i, 12]),
-                                    w, h)
-                        else:
-                            msk = np.zeros(1, np.int8)
+                        alljobs[:, 14] = lut[alljobs[:, 14]]
+                        alljobs[:, 20] = lut[alljobs[:, 20]]
                         rh, rw = self._ref_bounds(int(bool(pi)))
                         ssh = f.ss_hor if pi == 0 else 0
                         ssv = f.ss_ver if pi == 0 else 0
-                        fn = mc_jobs.comp_jobs_fn(
-                            n, c, c, bd, ssh, ssv, rh, rw, luma, use_msk)
-                        planes[pi], segplane = fn(REF, jobs, msk,
-                                                  segplane, planes[pi])
+                        for s, e, n in _chunk_bounds(len(alljobs)):
+                            jobs = alljobs[s:e]
+                            if n != e - s:
+                                out = np.zeros((n, jobs.shape[1]),
+                                               np.int32)
+                                out[:e - s] = jobs
+                                out[e - s:, 3] = OOB
+                                out[e - s:, 4] = OOB
+                                jobs = out
+                            wrows = np.nonzero(sub[s:e, 8] == 1)[0]
+                            use_msk = bool(len(wrows))
+                            if use_msk:
+                                msk = np.zeros((n, c, c), np.int8)
+                                for i in wrows:
+                                    r = sub[s + i]
+                                    h, w = int(r[1]), int(r[2])
+                                    msk[i, :h, :w] = mc_ref.wedge_mask(
+                                        int(r[9]), int(r[10]),
+                                        int(r[11]), int(r[12]), w, h)
+                            else:
+                                msk = np.zeros(1, np.int8)
+                            fn = mc_jobs.comp_jobs_fn(
+                                n, c, c, bd, ssh, ssv, rh, rw, luma,
+                                use_msk)
+                            planes[pi], segplane = fn(REF, jobs, msk,
+                                                      segplane,
+                                                      planes[pi])
             _sync(planes)
             t_pass.__exit__(None, None, None)
 
@@ -699,13 +760,13 @@ class DeviceInterReconstructor(InterReconstructor):
                     pi, ww, hh, lap_h = (int(krow[1]), int(krow[2]),
                                          int(krow[3]), int(krow[4]))
                     REF, lut = stacks[pi]
-                    jobs = sub.copy()
-                    jobs[:, 7] = lut[jobs[:, 7]]
-                    jobs = _pad_pow2(jobs, fill_cols=(5, 6))
+                    alljobs = sub.copy()
+                    alljobs[:, 7] = lut[alljobs[:, 7]]
                     rh, rw = self._ref_bounds(int(bool(pi)))
-                    planes[pi] = mc_jobs.obmc_jobs_fn(
-                        len(jobs), ww, hh, lap_h, bd, bool(top), rh,
-                        rw)(REF, jobs, planes[pi])
+                    for jobs in _chunks(alljobs, fill_cols=(5, 6)):
+                        planes[pi] = mc_jobs.obmc_jobs_fn(
+                            len(jobs), ww, hh, lap_h, bd, bool(top), rh,
+                            rw)(REF, jobs, planes[pi])
             _sync(planes)
             t_pass.__exit__(None, None, None)
 
@@ -721,11 +782,24 @@ class DeviceInterReconstructor(InterReconstructor):
                 self._cf_pool_dev, self._cf_bases = pool, bases
                 cfoff = (bases[res[:, 6]] + res[:, 5]).astype(np.int32)
                 jobs6 = np.concatenate([res[:, :5], cfoff[:, None]], 1)
+                from ..ops.itx_ref import TX1D_TYPES
                 for krow, sub in groups(jobs6, [0, 1, 2]):
                     pi, tx, txtp = int(krow[0]), int(krow[1]), int(krow[2])
-                    jobs = _pad_pow2(sub, fill_cols=(3, 4))
-                    planes[pi] = mc_jobs.res_jobs_fn(
-                        len(jobs), tx, txtp, bd)(pool, jobs, planes[pi])
+                    if txtp == lv.WHT_WHT:
+                        jobs = _pad_pow2(sub, fill_cols=(3, 4))
+                        planes[pi] = mc_jobs.res_jobs_fn(
+                            len(jobs), tx, txtp, bd)(pool, jobs,
+                                                     planes[pi])
+                        continue
+                    ft, st = TX1D_TYPES[txtp]
+                    rk, ck = mc_jobs.res_tx_kinds(tx)
+                    kidx = np.array([rk.index(ft), ck.index(st)],
+                                    np.int32)
+                    for jobs in _chunks(sub, fill_cols=(3, 4),
+                                        buckets=RES_BUCKETS):
+                        planes[pi] = mc_jobs.res_tx_fn(
+                            len(jobs), tx, bd)(pool, jobs, kidx,
+                                               planes[pi])
             _sync(planes)
             t_pass.__exit__(None, None, None)
 

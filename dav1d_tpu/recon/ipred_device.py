@@ -498,9 +498,19 @@ def build(recon, leftovers):
 # execution
 # ---------------------------------------------------------------------------
 
+def _bucket(n):
+    """Closed batch-size ladder {16, 64, 256, ...}: levels re-use the
+    same compiled programs regardless of how many units they carry
+    (stream-independent program set; padding lanes drop in-scatter)."""
+    b = 16
+    while b < n:
+        b <<= 2
+    return b
+
+
 def _pad_rows(rows, ncols, oob_cols):
     n = len(rows)
-    np2 = 1 << max(4, (n - 1).bit_length())
+    np2 = _bucket(n)
     arr = np.zeros((np2, ncols), np.int32)
     arr[:n] = rows
     for c in oob_cols:
@@ -558,11 +568,22 @@ def execute(recon, dplan):
                           int(bases[r[2]]) + r[3]) for r in rows],
                         np.int32)
                     jobs = _pad_rows(jobs, 6, (3, 4))
-                    planes[pl] = mc_jobs.res_jobs_fn(
-                        len(jobs), _tx, _txtp, bd)(pool, jobs, planes[pl])
+                    if _txtp == lv.WHT_WHT:
+                        planes[pl] = mc_jobs.res_jobs_fn(
+                            len(jobs), _tx, _txtp, bd)(pool, jobs,
+                                                       planes[pl])
+                    else:
+                        from ..ops.itx_ref import TX1D_TYPES
+                        ft, st = TX1D_TYPES[_txtp]
+                        rk, ck = mc_jobs.res_tx_kinds(_tx)
+                        kidx = np.array([rk.index(ft), ck.index(st)],
+                                        np.int32)
+                        planes[pl] = mc_jobs.res_tx_fn(
+                            len(jobs), _tx, bd)(pool, jobs, kidx,
+                                                planes[pl])
                     continue
                 n = len(rows)
-                np2 = 1 << max(4, (n - 1).bit_length())
+                np2 = _bucket(n)
                 idx = np.zeros((np2, ipred.EDGE_LEN), np.int32)
                 tlf = np.zeros(np2, np.int32)
                 for i, r in enumerate(rows):

@@ -28,3 +28,35 @@ ORACLE = "/root/repo/oracle-build/dav1d"
 
 def oracle_available() -> bool:
     return os.path.exists(ORACLE)
+
+
+# --- JIT-mapping guard -----------------------------------------------------
+# Every XLA:CPU executable is loaded as an in-memory JIT dylib costing
+# ~17 VM mappings that are only released by jax.clear_caches(). A long
+# pytest session compiles thousands of programs (each e2e stream shape
+# instantiates its own whole-plane filter programs), and once the
+# process crosses vm.max_map_count (default 65530) the next LLVM
+# mmap fails and jaxlib segfaults inside backend_compile_and_load
+# (observed reproducibly at ~10 e2e tests). Dropping the caches when
+# the map count gets high keeps the suite immune at the cost of
+# recompiling shared programs.
+
+def _n_maps():
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
+_MAPS_LIMIT = int(os.environ.get("DAV1D_TPU_TEST_MAPS_LIMIT", "30000"))
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _jax_map_guard():
+    yield
+    if "jax" in sys.modules and _n_maps() > _MAPS_LIMIT:
+        import jax
+        jax.clear_caches()
