@@ -53,7 +53,7 @@ CONFIGS = [
     # Printed first..last; the LAST line is the primary metric.
     dict(metric="decode_3840x2160_10b_fps",
          stream="bench_streams/3840x2160_10b_flt_s11.ivf",
-         budget_frac=0.45),
+         budget_frac=0.55),
     dict(metric="decode_1920x1080_fps",
          stream="bench_streams/1920x1080_8b_flt_s7.ivf",
          budget_frac=1.0),
@@ -75,24 +75,21 @@ from dav1d_tpu.bitstream.ivf import IvfReader
 data = open(%(stream)r, 'rb').read()
 frames = [fr.data for fr in IvfReader(data)]
 
-times = []
-t0 = time.perf_counter()
-with Decoder(Settings()) as dec:
-    for fd in frames:
-        dec.send_data(fd)
-    for _pic in dec.pictures():
-        times.append(time.perf_counter() - t0)
-        print('PIC %%d %%.3f' %% (len(times), times[-1]), flush=True)
+def decode(tag):
+    times = []
+    t0 = time.perf_counter()
+    with Decoder(Settings()) as dec:
+        for fd in frames:
+            dec.send_data(fd)
+        for _pic in dec.pictures():
+            times.append(time.perf_counter() - t0)
+            print('PIC %%s %%d %%.3f' %% (tag, len(times), times[-1]),
+                  flush=True)
+    return len(times), times[-1] if times else 0.0
 
-n = len(times)
-skip = min(2, max(0, n - 1))
-if n > skip and times[-1] > times[skip - 1 if skip else 0]:
-    if skip:
-        fps = (n - skip) / (times[-1] - times[skip - 1])
-    else:
-        fps = n / times[-1]
-else:
-    fps = (n / times[-1]) if n and times[-1] > 0 else 0.0
+decode('warm')              # jit compiles / cache loads amortize here
+n, dt = decode('timed')     # honest full-stream wall clock
+fps = n / dt if n and dt > 0 else 0.0
 print('BENCH_RESULT ' + json.dumps({'n': n, 'fps': fps}), flush=True)
 """
 
@@ -130,8 +127,8 @@ def _run_watched(script, env, deadline):
             last_out = time.time()
             if line.startswith("PIC "):
                 try:
-                    _, idx, t = line.split()
-                    pics.append((int(idx), float(t)))
+                    _, tag, idx, t = line.split()
+                    pics.append((tag, int(idx), float(t)))
                 except ValueError:
                     pass
             elif line.startswith("BENCH_RESULT "):
@@ -145,12 +142,16 @@ def _run_watched(script, env, deadline):
             proc.wait(timeout=10)
         except Exception:
             pass
-    if result is None and len(pics) >= 4:
-        # killed mid-stream: steady-state fps over pictures 3..N
-        (i0, t0), (i1, t1) = pics[1], pics[-1]
-        if t1 > t0:
-            result = {"n": i1, "fps": (i1 - i0) / (t1 - t0),
-                      "partial": True}
+    if result is None and pics:
+        # killed mid-run: prefer a full timed-pass estimate, else a
+        # conservative whole-run estimate from the warm pass (includes
+        # compile wall; better than reporting nothing)
+        timed = [(i, t) for tag, i, t in pics if tag == "timed"]
+        warm = [(i, t) for tag, i, t in pics if tag == "warm"]
+        use = timed if len(timed) >= 2 else warm
+        if use and use[-1][1] > 0:
+            i1, t1 = use[-1]
+            result = {"n": i1, "fps": i1 / t1, "partial": True}
     return result
 
 
@@ -159,57 +160,86 @@ def _cpu_env():
     env.pop("PYTHONPATH", None)          # bypass the axon sitecustomize
     env["JAX_PLATFORMS"] = "cpu"
     env["DAV1D_TPU_DEVICE"] = "cpu"
+    # persistent cache turns the host-XLA fallback's multi-minute
+    # first-frame compile wall into a warm start on repeat runs
+    env.setdefault("DAV1D_TPU_JIT_CACHE", "/tmp/dav1d_tpu_jit_cache_cpubench")
+    env.setdefault("DAV1D_TPU_JIT_CACHE_MIN", "0")
     return env
 
 
-def _probe_device():
-    """Is the default jax backend (the tunnel TPU) alive at all?"""
-    try:
-        out = subprocess.run(
-            [sys.executable, "-u", "-c", _PROBE],
-            capture_output=True, text=True, timeout=PROBE_TIMEOUT_S,
-            env=dict(os.environ))
-    except subprocess.TimeoutExpired:
-        return False
-    return "PROBE_OK" in out.stdout
+class _Probe:
+    """Async tunnel-TPU liveness probe: a wedged tunnel blocks the
+    probe child until its timeout, so it runs in a thread while the
+    first host-XLA decode already makes progress."""
+
+    def __init__(self):
+        import threading
+        self.result = None
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-u", "-c", _PROBE],
+                capture_output=True, text=True,
+                timeout=PROBE_TIMEOUT_S, env=dict(os.environ))
+            self.result = "PROBE_OK" in out.stdout
+        except Exception:
+            self.result = False
+
+    def wait(self, timeout):
+        self._t.join(timeout)
+        return self.result
 
 
-def _bench_config(cfg, deadline, device_ok):
+def _bench_config(cfg, deadline, probe):
     stream = os.path.join(ROOT, cfg["stream"])
     if not os.path.exists(stream):
         return None
     script = _CHILD % {"root": ROOT, "stream": stream}
 
-    res = None
-    if device_ok:
-        # cap the device attempt to leave fallback room; a slow-but-
-        # alive device run still yields a partial result from PIC lines
+    if probe.wait(0) is True:
+        # tunnel alive: device first, leave fallback room (a slow-but-
+        # alive device run still yields a partial from its PIC lines)
         dev_deadline = min(deadline,
                            time.time() + 0.65 * (deadline - time.time()))
         res = _run_watched(script, dict(os.environ), dev_deadline)
-    if res is None and time.time() < deadline - 30:
-        # host XLA: same device program, axon plugin bypassed
+        if res is not None:
+            return res
+    else:
+        # probe unresolved or dead: host XLA now (axon bypassed),
+        # probe keeps running in parallel
+        cpu_deadline = min(deadline,
+                           time.time() + 0.8 * (deadline - time.time()))
+        res = _run_watched(script, _cpu_env(), cpu_deadline)
+        if probe.wait(0) is True and time.time() < deadline - 45:
+            dres = _run_watched(script, dict(os.environ), deadline)
+            if dres is not None:
+                return dres
+        if res is not None:
+            return res
+    if time.time() < deadline - 30:
         res = _run_watched(script, _cpu_env(), deadline)
-    if res is None and time.time() < deadline - 30:
+        if res is not None:
+            return res
+    if time.time() < deadline - 30:
         env = _cpu_env()
         env["DAV1D_TPU_BACKEND"] = "numpy"
-        res = _run_watched(script, env, deadline)
-    return res
+        return _run_watched(script, env, deadline)
+    return None
 
 
 def main():
     t_end = time.time() + TOTAL_BUDGET_S
-    device_ok = _probe_device()
-    if not device_ok:
-        print("bench: device probe failed (wedged tunnel?) — "
-              "falling back to host XLA", file=sys.stderr, flush=True)
-
-    remaining_fracs = [c["budget_frac"] for c in CONFIGS]
+    probe = _Probe()
     for i, cfg in enumerate(CONFIGS):
         left = t_end - time.time()
-        share = left * (remaining_fracs[i] / sum(remaining_fracs[i:]))
-        res = _bench_config(cfg, time.time() + max(30.0, share),
-                            device_ok)
+        # budget_frac = fraction of the REMAINING budget this config
+        # may spend (the last config always gets everything left)
+        frac = cfg["budget_frac"] if i < len(CONFIGS) - 1 else 1.0
+        res = _bench_config(cfg, time.time() + max(30.0, left * frac),
+                            probe)
         fps = res["fps"] if res else 0.0
         print(json.dumps({
             "metric": cfg["metric"],

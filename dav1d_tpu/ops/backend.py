@@ -48,7 +48,9 @@ def jax_mod():
             try:
                 jax.config.update("jax_compilation_cache_dir", cache)
                 jax.config.update(
-                    "jax_persistent_cache_min_compile_time_secs", 0.5)
+                    "jax_persistent_cache_min_compile_time_secs",
+                    float(os.environ.get("DAV1D_TPU_JIT_CACHE_MIN",
+                                         "0.5")))
             except Exception:
                 pass
         _JAX = jax
