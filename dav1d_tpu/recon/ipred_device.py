@@ -206,6 +206,10 @@ class _Builder:
     def _mark_write(self, pl, py, px, h, w, level):
         self.lvl[pl][py:py + h, px:px + w] = level
 
+    def _mark_write_max(self, pl, py, px, h, w, level):
+        m = self.lvl[pl][py:py + h, px:px + w]
+        np.maximum(m, level, out=m)
+
     # -- per-unit emitters ---------------------------------------------------
     def _pred_unit(self, pl, px, py, w_px, h_px, mode, angle, flags,
                    idx, tlf, max_w, max_h):
@@ -271,7 +275,17 @@ class _Builder:
         loff = int(t["coefs"][cb._idx, 6])
         self._emit(level, key, (cb.y4 * 4, cb.x4 * 4,
                                 t["tile_idx"], loff))
-        # residual lands at `level`; rect already marked by the pred
+        # The residual is a WRITE at `level`: a later reader of this
+        # rect must schedule strictly after it. The pred usually marks
+        # the rect at the same level, but the CFL path can emit the
+        # residual at max(U, V) pred level — above this plane's pred
+        # mark — and a reader between the two levels would gather
+        # pre-residual pixels (found via a V-plane DC unit reading a
+        # CFL neighbor's pred-only top edge; 188-pixel mismatch vs the
+        # reference on a tiles+masked-compound stream).
+        td = lv.TXFM_INFO[cb.tx]
+        self._mark_write_max(cb.plane, cb.y4 * 4, cb.x4 * 4,
+                             td.h * 4, td.w * 4, level)
 
     # -- block walk (mirrors recon/intra_ref.py _recon_block) ---------------
     def add_block(self, b, bounds):

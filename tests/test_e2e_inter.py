@@ -75,6 +75,16 @@ CONFIGS = [
     dict(name="tl4x4-quad", w=320, h=240, n_frames=6, seed=42,
          lf_levels=(28, 28, 16, 16), cdef_params=(2, 1, [9, 25], [5, 13]),
          lr_types=(1, 2, 2)),
+    # regression: in the device leftover scheduler, a CFL block's
+    # residual can be emitted at max(U,V) pred level — above its own
+    # plane's pred mark — and a dependent unit between those levels
+    # read the pred-only (pre-residual) edge. Triggers on multi-tile +
+    # masked compound content with CDF-skewed (low uniform_mix) mode
+    # sampling; _res_unit must bump the level map for its rect.
+    dict(name="cfl-res-level", w=640, h=384, n_frames=6, seed=21,
+         qidx=100, uniform_mix=0.08, tile_log2_cols=1, tile_log2_rows=1,
+         masked_compound=1, lf_levels=(28, 28, 16, 16),
+         cdef_params=(2, 1, [9, 25], [5, 13]), lr_types=(1, 2, 2)),
 ]
 
 IDS = [c["name"] for c in CONFIGS]

@@ -57,10 +57,22 @@ class GenCoder:
             a = getattr(a, "base", None)
         return ()
 
+    def _forced_value(self, root):
+        """force entry for a cdf root: a plain int applies always; a
+        (value, prob) tuple applies with probability prob (else the
+        symbol samples normally) — used to bias mode statistics toward
+        encoder-shaped content (e.g. mostly-inter frames)."""
+        v = self.force.get(id(root))
+        if isinstance(v, tuple):
+            val, p = v
+            return val if self.rng.random() < p else None
+        return v
+
     def _pick_symbol(self, cdf, n_symbols: int) -> int:
         root = cdf.base if cdf.base is not None else cdf
-        if id(root) in self.force:
-            return min(self.force[id(root)], n_symbols)
+        fv = self._forced_value(root)
+        if fv is not None:
+            return min(fv, n_symbols)
         bad = self._forbidden(cdf)
         if self.rng.random() < self.mix:
             allowed = [v for v in range(n_symbols + 1) if v not in bad]
@@ -92,9 +104,8 @@ class GenCoder:
 
     def decode_bool_adapt(self, cdf) -> int:
         root = cdf.base if cdf.base is not None else cdf
-        if id(root) in self.force:
-            bit = self.force[id(root)]
-        else:
+        bit = self._forced_value(root)
+        if bit is None:
             bit = self._pick_bool(int(cdf[0]))
         self.enc.encode_bool_adapt(bit, cdf)
         return bit
@@ -908,7 +919,7 @@ def generate_stream(width, height, *, n_frames=4, qidx=100, seed=0,
                     seg_update_map=1, seg_temporal=0, seg_update_data=1,
                     superres_denom=None, frame_size_fn=None, layout=1,
                     monochrome=0, temporal_ids=None,
-                    operating_points=None):
+                    operating_points=None, intra_prob=None):
     """Key frame + (n_frames-1) inter frames, generated by driving OUR
     decoder's own frame pipeline with a GenCoder (so generator ref/CDF
     state == decoder state by construction).
@@ -1020,6 +1031,11 @@ def generate_stream(width, height, *, n_frames=4, qidx=100, seed=0,
                          disable_cdf_update=disable_cdf_update)
             if force_skip is not None:
                 c.force[id(cdf.m.skip)] = force_skip
+            if intra_prob is not None:
+                # encoder-shaped mode statistics: force the is-inter
+                # bool (1 = inter) except with probability intra_prob,
+                # where the symbol samples normally
+                c.force[id(cdf.m.intra)] = (1, 1.0 - intra_prob)
             apply_coder_restrictions(c, seq, cdf)
             return c
 
