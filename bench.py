@@ -28,10 +28,13 @@ the bench before a single line printed, rc=124):
   - the primary 1080p line prints last (the driver records the last
     line), the 4K line as soon as it is known.
 
-Throughput is measured steady-state: one full-stream decode, fps over
-the pictures after the first two (jit compiles + pipeline ramp-in are
-paid on the early pictures; the persistent compilation cache makes
-warm TPU runs cheap).
+Throughput is honest wall clock: after a 3-frame warm-up pass (which
+touches the whole compiled-program set — batch shapes are closed
+buckets), the timed pass decodes the full stream and reports
+n_pictures / total_wall including the first picture. Partial results
+(child killed on inactivity/budget) need >=2 timed pictures, else >=1
+warm picture, and are flagged "partial". Every JSON line carries the
+backend that produced it ("device" TPU / "host-xla" / "numpy").
 """
 import json
 import os
@@ -104,19 +107,41 @@ print('BENCH_RESULT ' + json.dumps({'n': n, 'fps': fps}), flush=True)
 def _run_watched(script, env, deadline):
     """Run a child; kill on global deadline or output inactivity.
     Returns the BENCH_RESULT dict, a partial result reconstructed from
-    PIC progress lines (>=4 pictures decoded before the kill), or
-    None."""
+    PIC progress lines (>=2 timed pictures, else >=1 warm picture,
+    decoded before the kill), or None.
+
+    The child's stdout fd is read NON-BLOCKING and drained fully after
+    every select wakeup: a buffered readline() would pull a burst of
+    lines into the Python-level buffer where select can't see them, and
+    the inactivity timer would fire with progress already received
+    (round-4 advisor finding)."""
     import selectors
     proc = subprocess.Popen(
         [sys.executable, "-u", "-c", script], env=env,
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
+    fd = proc.stdout.fileno()
+    os.set_blocking(fd, False)
     sel = selectors.DefaultSelector()
     sel.register(proc.stdout, selectors.EVENT_READ)
     result = None
     last_out = time.time()
     pics = []                             # (tag, idx, t) progress marks
+    tail = b""
+    eof = False
+
+    def handle(line):
+        nonlocal result
+        if line.startswith("PIC "):
+            try:
+                _, tag, idx, t = line.split()
+                pics.append((tag, int(idx), float(t)))
+            except ValueError:
+                pass
+        elif line.startswith("BENCH_RESULT "):
+            result = json.loads(line[len("BENCH_RESULT "):])
+
     try:
-        while True:
+        while result is None and not eof:
             now = time.time()
             # the whole warm pass may stall on compiles / cache loads
             # between pictures; only the timed pass must tick steadily
@@ -129,20 +154,24 @@ def _run_watched(script, env, deadline):
                 if proc.poll() is not None:
                     break
                 continue
-            line = proc.stdout.readline()
-            if not line:
-                if proc.poll() is not None:
-                    break
-                continue
-            last_out = time.time()
-            if line.startswith("PIC "):
+            # drain everything available before sleeping again
+            got = False
+            while True:
                 try:
-                    _, tag, idx, t = line.split()
-                    pics.append((tag, int(idx), float(t)))
-                except ValueError:
-                    pass
-            elif line.startswith("BENCH_RESULT "):
-                result = json.loads(line[len("BENCH_RESULT "):])
+                    chunk = os.read(fd, 65536)
+                except BlockingIOError:
+                    break
+                if not chunk:
+                    eof = True
+                    break
+                got = True
+                tail += chunk
+                while b"\n" in tail:
+                    raw, tail = tail.split(b"\n", 1)
+                    handle(raw.decode("utf-8", "replace"))
+            if got:
+                last_out = time.time()
+            elif eof and proc.poll() is not None:
                 break
     finally:
         sel.close()
@@ -209,12 +238,18 @@ def _bench_config(cfg, deadline, probe):
         return None
     script = _CHILD % {"root": ROOT, "stream": stream}
 
+    def tag(res, backend):
+        if res is not None:
+            res["backend"] = backend
+        return res
+
     if probe.wait(0) is True:
         # tunnel alive: device first, leave fallback room (a slow-but-
         # alive device run still yields a partial from its PIC lines)
         dev_deadline = min(deadline,
                            time.time() + 0.65 * (deadline - time.time()))
-        res = _run_watched(script, dict(os.environ), dev_deadline)
+        res = tag(_run_watched(script, dict(os.environ), dev_deadline),
+                  "device")
         if res is not None:
             return res
     else:
@@ -222,21 +257,23 @@ def _bench_config(cfg, deadline, probe):
         # probe keeps running in parallel
         cpu_deadline = min(deadline,
                            time.time() + 0.8 * (deadline - time.time()))
-        res = _run_watched(script, _cpu_env(), cpu_deadline)
+        res = tag(_run_watched(script, _cpu_env(), cpu_deadline),
+                  "host-xla")
         if probe.wait(0) is True and time.time() < deadline - 45:
-            dres = _run_watched(script, dict(os.environ), deadline)
+            dres = tag(_run_watched(script, dict(os.environ), deadline),
+                       "device")
             if dres is not None:
                 return dres
         if res is not None:
             return res
     if time.time() < deadline - 30:
-        res = _run_watched(script, _cpu_env(), deadline)
+        res = tag(_run_watched(script, _cpu_env(), deadline), "host-xla")
         if res is not None:
             return res
     if time.time() < deadline - 30:
         env = _cpu_env()
         env["DAV1D_TPU_BACKEND"] = "numpy"
-        return _run_watched(script, env, deadline)
+        return tag(_run_watched(script, env, deadline), "numpy")
     return None
 
 
@@ -248,15 +285,23 @@ def main():
         # budget_frac = fraction of the REMAINING budget this config
         # may spend (the last config always gets everything left)
         frac = cfg["budget_frac"] if i < len(CONFIGS) - 1 else 1.0
-        res = _bench_config(cfg, time.time() + max(30.0, left * frac),
-                            probe)
+        # clamp to the hard total budget: a sub-30s remainder must not
+        # push the per-config deadline past t_end (rc=124 guard)
+        res = _bench_config(
+            cfg, min(t_end, time.time() + max(30.0, left * frac)),
+            probe)
         fps = res["fps"] if res else 0.0
-        print(json.dumps({
+        line = {
             "metric": cfg["metric"],
             "value": round(fps, 3),
             "unit": "frames/sec",
             "vs_baseline": round(fps / 60.0, 4),
-        }), flush=True)
+            "backend": res.get("backend", "none") if res else "none",
+            "n_pics": res.get("n", 0) if res else 0,
+        }
+        if res and res.get("partial"):
+            line["partial"] = True
+        print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":

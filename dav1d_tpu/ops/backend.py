@@ -121,15 +121,29 @@ def fetch_pic_host(pic):
 _MAPS_LIMIT = int(os.environ.get("DAV1D_TPU_MAPS_LIMIT", "55000"))
 
 
+_GUARD_TICK = 0
+
+
 def guard_jit_maps():
     """Segfault guard for long decodes on XLA:CPU (the TPU-wedged
     fallback): every compiled CPU executable is an in-memory JIT dylib
     costing ~17 VM mappings, released only by jax.clear_caches();
     crossing vm.max_map_count (default 65530) makes the next compile's
     mmap fail and jaxlib segfault. Called at frame boundaries; no-ops
-    unless jax is loaded and the map count is near the limit (the
-    clear costs recompiles, so the threshold is high)."""
+    unless jax is loaded AND running on the CPU backend (the TPU path
+    doesn't JIT-map per executable), and scans /proc/self/maps only
+    every 16th frame (the scan is ~65k lines at the limit)."""
+    global _GUARD_TICK
     if _JAX is None:
+        return
+    try:
+        if _JAX.default_backend() != "cpu" and \
+                os.environ.get("DAV1D_TPU_DEVICE") != "cpu":
+            return
+    except Exception:
+        return
+    _GUARD_TICK += 1
+    if _GUARD_TICK % 16:
         return
     try:
         with open("/proc/self/maps") as f:

@@ -145,7 +145,9 @@ def run_filter_chain_device(pic, plan, inloop_filters):
                     pass
             out_pic.pending_fetch = casts
         out_pic.dev = planes
+        out_pic.dev_c = None    # pre-filter chroma stack is stale
         out_pic.host_stale = True
         if out_pic is not pic:
             pic.dev = None      # pre-super-res picture is dropped
+            pic.dev_c = None
     return out_pic

@@ -404,6 +404,7 @@ class DeviceInterReconstructor(InterReconstructor):
                     up = jnp.asarray(np.asarray(hp[a:b]))
                     devs[i] = devs[i].at[a:b].set(up.astype(jnp.int32))
                 self.pic.dev = devs
+                self.pic.dev_c = None
                 self.pic.host_stale = True
         return self.pic
 
@@ -625,6 +626,24 @@ class DeviceInterReconstructor(InterReconstructor):
         if not (len(self.puts) or len(self.warps) or len(self.obmc_jobs)
                 or len(self.comp) or len(self.res_jobs)):
             return
+        if type(self) is DeviceInterReconstructor and \
+                not self.had_eager:
+            from ..ops import mc_fused
+            if mc_fused.enabled():
+                jobs = {
+                    "puts": np.asarray(self.puts,
+                                       np.int32).reshape(-1, 11),
+                    "warps": np.asarray(self.warps,
+                                        np.int32).reshape(-1, 12),
+                    "obmc": np.asarray(self.obmc_jobs,
+                                       np.int32).reshape(-1, 13),
+                    "comp": np.asarray(self.comp,
+                                       np.int32).reshape(-1, 25),
+                    "res": np.asarray(self.res_jobs,
+                                      np.int32).reshape(-1, 7),
+                }
+                if mc_fused.execute(self, jobs):
+                    return
         jax = jax_mod()
         jnp = jax.numpy
         bd = self.bitdepth
@@ -803,14 +822,18 @@ class DeviceInterReconstructor(InterReconstructor):
             _sync(planes)
             t_pass.__exit__(None, None, None)
 
-            # Leftover blocks (intra/interintra/scaled) run the golden
-            # host path next, so they need the host pixels: cast on
-            # device (4x fewer tunnel bytes) and overlap the per-plane
-            # transfers. With the native emitter the replay's row span
-            # is known, so only those rows round-trip (the planes stay
-            # device-resident and the replayed rows upload back in
-            # run_native). Frames with no leftovers skip the transfer
-            # entirely.
+            self._finish_device_planes(planes)
+
+    def _finish_device_planes(self, planes):
+        """Post-MC wrap-up shared by the fused and per-group paths.
+        Leftover blocks (intra/interintra/scaled) run the golden host
+        path next, so they need the host pixels: cast on device (4x
+        fewer tunnel bytes) and overlap the per-plane transfers. With
+        the native emitter the replay's row span is known, so only
+        those rows round-trip (the planes stay device-resident and the
+        replayed rows upload back in run_native). Frames with no
+        leftovers (or a device leftover plan) skip the transfer."""
+        with timing.phase("inter.finish"):
             if (self.leftovers and self._dev_lo is None) or \
                     self.res_fixups:
                 from ..ops.backend import fetch_all

@@ -659,4 +659,5 @@ def execute(recon, dplan):
                 planes[pl] = ipred.scatter_pred_fn(np2, w, h)(
                     planes[pl], pys, pxs, preds)
         recon.pic.dev = planes
+        recon.pic.dev_c = None
         recon.pic.host_stale = True

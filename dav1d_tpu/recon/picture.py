@@ -44,7 +44,7 @@ class Picture:
                  "ss_hor", "ss_ver", "content_light", "mastering_display",
                  "itut_t35", "seq_hdr", "frame_hdr", "props",
                  "allocator", "allocator_data", "dev", "host_stale",
-                 "pending_fetch", "dev_grid")
+                 "pending_fetch", "dev_grid", "dev_c", "dev_mcpad")
 
     _NAMES = {0: "I400", 1: "I420", 2: "I422", 3: "I444"}
 
@@ -75,6 +75,8 @@ class Picture:
         # sharded decode: dev arrays live on the multi-chip shard grid
         # (column-sharded, shard-width padded) rather than plane-shaped
         self.dev_grid = False
+        self.dev_c = None
+        self.dev_mcpad = None
         # in-flight device->host transfer (down-cast device arrays with
         # copy_to_host_async issued); materialized by fetch_pic_host at
         # the first host consumer — the Stage-B worker never blocks on
@@ -130,6 +132,8 @@ class Picture:
             self.allocator.release_picture_data(self)
         self.planes = []
         self.dev = None
+        self.dev_c = None
+        self.dev_mcpad = None
 
 
 class PicturePool:

@@ -18,6 +18,12 @@ if "jax" not in sys.modules:
     if "axon" in pp:
         os.environ["PYTHONPATH"] = os.pathsep.join(
             p for p in pp.split(os.pathsep) if "axon" not in p)
+# the fused single-program Stage B (production default) compiles a
+# large two-program pipeline per frame geometry (~85s on host XLA) —
+# prohibitive across the suite's hundreds of tiny streams. The broad
+# suite exercises the per-group launch path; tests/test_fused.py runs
+# the fused path against the oracle across the inter tool matrix.
+os.environ.setdefault("DAV1D_TPU_FUSED", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

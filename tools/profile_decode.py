@@ -40,7 +40,7 @@ def main():
     if path is None:
         import bench
         # default: the primary (1080p 8-bit) bench stream
-        path = bench._ensure_stream(bench.CONFIGS[-1])
+        path = os.path.join(ROOT, bench.CONFIGS[-1]["stream"])
     data = open(path, "rb").read()
 
     from dav1d_tpu.bitstream.ivf import IvfReader
@@ -53,6 +53,9 @@ def main():
          "recon_inter(dev)")
     wrap(filters, "run_filter_chain_device", "filters(dev)")
     wrap(backend, "fetch_all", "d2h_fetch")
+    # the output-boundary wait: this is where queued device work
+    # actually drains, so its wall time = device execution + transfer
+    wrap(backend, "fetch_pic_host", "d2h_output_wait")
     orig_decode = dec_mod.ObuStreamDecoder._decode_frame
 
     def timed_decode(self, *a, **k):
