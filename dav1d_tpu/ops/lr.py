@@ -63,6 +63,31 @@ def _col_table(x, w, edges, Wplane):
     return cols
 
 
+LR_BS = 32
+
+
+def _block_window(jnp, CP, rowt, colbase, win_w):
+    """(n, hmax+6, win_w) windows: per-row gather of 32-wide blocks +
+    a log2 conditional shift. The sources are horizontally edge-padded
+    so column windows are LINEAR (left/right replication and the tail
+    clamp live in the padding); per-element 2-D gathers ran at ~60M
+    elem/s on the tunnel v5e, this pattern 4-8x faster."""
+    H, W = CP.shape
+    C4 = CP.reshape(H, W // LR_BS, LR_BS)
+    nblk = -(-(LR_BS - 1 + win_w) // LR_BS)
+    a = colbase >> 5
+    b = colbase & 31
+    blks = a[:, None] + jnp.arange(nblk, dtype=jnp.int32)
+    g = C4[rowt[:, :, None], blks[:, None, :]]
+    n, nrows = rowt.shape
+    g = g.reshape(n, nrows, nblk * LR_BS)
+    for k in range(5):
+        bit = ((b >> k) & 1).astype(jnp.bool_)
+        g = jnp.where(bit[:, None, None],
+                      jnp.roll(g, -(1 << k), axis=2), g)
+    return g[:, :, :win_w]
+
+
 def _scatter_ids(jnp, dst, oy, ox, ohs, ows, hmax, wmax):
     """Destination ids for the masked write-back, built ON DEVICE from
     the per-item origin/size vectors (shipping precomputed (n, hmax,
@@ -94,9 +119,9 @@ def _wiener_fn(n, hmax, wmax, bd):
     round_bits_v = 11 - (bd == 12) * 2
     round_offset = 1 << (bd + round_bits_v - 1)
 
-    def fn(src, pre, dst, rowt, colt, fhc, fvc, oy, ox, ohs, ows):
+    def fn(src, pre, dst, rowt, colbase, fhc, fvc, oy, ox, ohs, ows):
         CP = jnp.concatenate([src, pre], axis=0)
-        S = CP[rowt[:, :, None], colt[:, None, :]]   # (n, hmax+6, wmax+6)
+        S = _block_window(jnp, CP, rowt, colbase, wmax + 6)
         hsum = jnp.full((n, hmax + 6, wmax), 1 << (bd + 6), jnp.int32)
         for i in range(7):
             hsum = hsum + fhc[:, i, None, None] * S[:, :, i:i + wmax]
@@ -146,11 +171,13 @@ def _sgr_fn(n, hmax, wmax, bd):
             ssq = ssq + sl * sl
         return ssq, ssum
 
-    def fn(src, pre, dst, rowt, colt, s0, s1, w0, w1, oy, ox, ohs, ows):
+    def fn(src, pre, dst, rowt, colbase, s0, s1, w0, w1, oy, ox, ohs,
+           ows):
         # rowt rows 0..hmax+5 map padded rows -3..hmax+2 with the
         # reference clamp baked in, so R(r) = 3 + r indexes directly
         CP = jnp.concatenate([src, pre], axis=0)
-        S = CP[rowt[:, :, None], colt[:, None, :]].astype(jnp.int64)
+        S = _block_window(jnp, CP, rowt, colbase,
+                          wmax + 6).astype(jnp.int64)
         src_px = S[:, 3:3 + hmax, PAD:PAD + wmax]
 
         # ---- box3: A/B at rows r = -1..hmax (stacked) ----
@@ -289,6 +316,15 @@ def lr_planes_device(planes, pre_cdef, plan, bd):
             hmax = 64 >> ss_ver
             wmax = (1 << us_log2) + (1 << (us_log2 - 1))
             res = cur
+            # horizontally edge-padded gather sources: column windows
+            # become linear (see _block_window); PADL covers the -3
+            # left reach, the right pad the widest window tail
+            PADL = LR_BS
+            Wpad = -(-(w + PADL + wmax + 8) // LR_BS) * LR_BS
+            curp = jnp.pad(cur[:, :w], ((0, 0), (PADL, Wpad - w - PADL)),
+                           mode="edge")
+            prep = jnp.pad(pre[:, :w], ((0, 0), (PADL, Wpad - w - PADL)),
+                           mode="edge")
 
             for kind in ("wiener", "sgr"):
                 sel = [it for it in items
@@ -370,24 +406,16 @@ def lr_planes_device(planes, pre_cdef, plan, bd):
                 np.clip(val, 0, Hp - 1, out=val)
                 rowt = val + np.where(from_lpf, Hp, 0)
 
-                # col tables, batched (_col_table + tail extension)
-                jj = np.minimum(np.arange(wmax + 2 * PAD)[None, :],
-                                ows[:, None] + 5)
-                cval = np.clip(ox[:, None] + jj - PAD, 0, Wp - 1)
-                no_l = (ev[:, None] & LR_HAVE_LEFT) == 0
-                no_r = (ev[:, None] & LR_HAVE_RIGHT) == 0
-                cval = np.where(no_l & (jj < PAD),
-                                np.clip(ox, 0, Wp - 1)[:, None], cval)
-                cval = np.where(no_r & (jj >= PAD + ows[:, None]),
-                                np.clip(ox + ows - 1, 0, Wp - 1)[:, None],
-                                cval)
-                colt = cval
+                # column window bases into the edge-padded sources
+                # (the old per-element col tables' left/right
+                # replication and tail clamp live in the padding:
+                # kept output cols only ever read cols < ows+5)
+                colbase = (ox - PAD + PADL).astype(np.int32)
 
                 # scatter geometry: int32 vectors, ids built in-jit
                 # (shipping (n, hmax, wmax) id tensors cost more
                 # tunnel bytes than the pixels themselves)
                 rowt = rowt.astype(np.int32)
-                colt = colt.astype(np.int32)
                 oy32 = oy.astype(np.int32)
                 ox32 = ox.astype(np.int32)
                 ohs_v = ohs.astype(np.int32)
@@ -395,12 +423,12 @@ def lr_planes_device(planes, pre_cdef, plan, bd):
                 ohs_v[n:] = 0                         # batch padding
                 if kind == "wiener":
                     fn = _wiener_fn(nb, hmax, wmax, bd)
-                    res = fn(cur, pre, res, rowt, colt, fhc, fvc,
+                    res = fn(curp, prep, res, rowt, colbase, fhc, fvc,
                              oy32, ox32, ohs_v, ows_v)
                 else:
                     fn = _sgr_fn(nb, hmax, wmax, bd)
-                    res = fn(cur, pre, res, rowt, colt, s0, s1, w0, w1,
-                             oy32, ox32, ohs_v, ows_v)
+                    res = fn(curp, prep, res, rowt, colbase, s0, s1,
+                             w0, w1, oy32, ox32, ohs_v, ows_v)
             out[plane] = res
     return out
 

@@ -62,7 +62,13 @@ PUT_CHUNK = {16: 1024, 32: 256, 64: 64, 128: 16}
 COMP_CHUNK = {16: 512, 32: 128, 64: 32, 128: 8}
 WARP_CHUNK = 1024
 BILIN_C, BILIN_CHUNK = 128, 16
-OBMC_CW, OBMC_CH, OBMC_CHUNK = 64, 64, 128
+# OBMC classed caps: top laps blend the upper 3/4 of a lap whose mask
+# height is <=32 (reference obmc_masks layout), left laps the left 3/4
+# with mask width <=32 (mc_tmpl.c:696-722); prep windows follow
+OBMC_CHUNK = 128
+#   prep window (lap) caps and blend-region caps per variant
+OBMC_CAPS = {1: dict(lap_h=24, lap_w=64, bh=24, bw=64, hh=32),  # top
+             0: dict(lap_h=64, lap_w=32, bh=64, bw=24, hh=64)}  # left
 WHT_CHUNK = 512
 
 
@@ -254,11 +260,17 @@ def pack(jobs, lut, bases, n_planes):
 
     obmc = np.asarray(jobs["obmc"], np.int32).reshape(-1, 13)
     if len(obmc):
-        if (obmc[:, 2].max(initial=0) > OBMC_CW or
-                obmc[:, 3].max(initial=0) > OBMC_CH or
-                obmc[:, 4].max(initial=0) > OBMC_CH):
-            # geometry beyond the classed kernel's static caps
-            return None
+        top_m = obmc[:, 0] == 1
+        for tval, msk in ((1, top_m), (0, ~top_m)):
+            sub = obmc[msk]
+            if not len(sub):
+                continue
+            caps = OBMC_CAPS[tval]
+            if (sub[:, 2].max(initial=0) > caps["lap_w"] or
+                    sub[:, 3].max(initial=0) > caps["hh"] or
+                    sub[:, 4].max(initial=0) > caps["lap_h"]):
+                # geometry beyond the classed kernel's static caps
+                return None
         obmc = obmc.copy()
         obmc[:, 7] = lut[obmc[:, 7]]
         for g, msk in (("y", obmc[:, 1] == 0), ("c", obmc[:, 1] > 0)):
@@ -387,6 +399,42 @@ def _mc_program(phase, n_planes, Hy, Wy, Hc, Wc, R, bd, ss_hor, ss_ver,
                               jnp.roll(g, -(1 << k), axis=1), g)
             return g[:, :count]
 
+        def cur_gather(carry, pl, py, px, win_h, win_w):
+            """Block-gather a window of the CURRENT (carry) plane for
+            read-modify-write blends/adds. Bases clamp into the plane
+            and the residual offset is applied by conditional rolls;
+            wrapped trailing lanes only ever cover rows/cols past the
+            job's valid region (which the scatter drops)."""
+            P = carry[1] if is_c else carry[0]
+            H, W = P.shape[-2], P.shape[-1]
+            WBp = W // BS
+            # nblk = ceil((31+w)/32) bounds the clamped fine shift to
+            # b <= 32*nblk - win_w <= 63, covered by the 6 roll steps
+            nblk = _nblk(win_w)
+            rb = jnp.clip(py, 0, H - win_h)
+            rr = jnp.clip(py, 0, H - 1) - rb
+            a = jnp.clip(px >> 5, 0, WBp - nblk)
+            b = jnp.clip(px, 0, W - 1) - (a << 5)
+            rows = rb[:, None] + jnp.arange(win_h, dtype=jnp.int32)
+            blks = a[:, None] + jnp.arange(nblk, dtype=jnp.int32)
+            if is_c:
+                P4 = P.reshape(2, H, WBp, BS)
+                g = P4[pl[:, None, None], rows[:, :, None],
+                       blks[:, None, :]]
+            else:
+                P4 = P.reshape(H, WBp, BS)
+                g = P4[rows[:, :, None], blks[:, None, :]]
+            n = py.shape[0]
+            g = g.reshape(n, win_h, nblk * BS)
+            for k in range(6):
+                bit = ((rr >> k) & 1).astype(jnp.bool_)
+                g = jnp.where(bit[:, None, None],
+                              jnp.roll(g, -(1 << k), axis=1), g)
+                bitc = ((b >> k) & 1).astype(jnp.bool_)
+                g = jnp.where(bitc[:, None, None],
+                              jnp.roll(g, -(1 << k), axis=2), g)
+            return g[:, :, :win_w]
+
         def read(carry, pl, drows, dcols):
             Y, C, SP = carry
             if is_c:
@@ -484,6 +532,9 @@ def _mc_program(phase, n_planes, Hy, Wy, Hc, Wc, R, bd, ss_hor, ss_ver,
 
         if kind == "obmc":
             top = sd["top"]
+            caps = OBMC_CAPS[top]
+            LH, LW = caps["lap_h"], caps["lap_w"]
+            BH, BW = caps["bh"], caps["bw"]
 
             def body(tbl, carry):
                 pl = tbl[:, 1]
@@ -494,37 +545,37 @@ def _mc_program(phase, n_planes, Hy, Wy, Hc, Wc, R, bd, ss_hor, ss_ver,
                 n = tbl.shape[0]
                 fh = _taps(jnp, fb, ww <= 4, ft, amx)
                 fv = _taps(jnp, fb, lap_h <= 4, ft >> 2, amy)
-                patch = win(slot, pl, dy, dx, OBMC_CH + 7,
-                            OBMC_CW + 7, 3)
-                mid = jnp.zeros((n, OBMC_CH + 7, OBMC_CW), jnp.int32)
+                patch = win(slot, pl, dy, dx, LH + 7, LW + 7, 3)
+                mid = jnp.zeros((n, LH + 7, LW), jnp.int32)
                 for i in range(8):
                     mid = mid + fh[:, i, None, None] * \
-                        patch[:, :, i:i + OBMC_CW]
+                        patch[:, :, i:i + LW]
                 mid = _rnd(jnp, mid, 6 - ib)
-                lap = jnp.zeros((n, OBMC_CH, OBMC_CW), jnp.int32)
+                lap = jnp.zeros((n, LH, LW), jnp.int32)
                 for i in range(8):
                     lap = lap + fv[:, i, None, None] * \
-                        mid[:, i:i + OBMC_CH]
+                        mid[:, i:i + LH]
                 lap = jnp.clip(_rnd(jnp, lap, 6 + ib), 0, px_max)
-                ih = jnp.arange(OBMC_CH, dtype=jnp.int32)
-                iw = jnp.arange(OBMC_CW, dtype=jnp.int32)
+                lap = lap[:, :BH, :BW]
+                ih = jnp.arange(BH, dtype=jnp.int32)
+                iw = jnp.arange(BW, dtype=jnp.int32)
                 if top:
                     hb = (hh * 3) >> 2
                     wb = ww
-                    m = om[jnp.clip(hh[:, None] + ih[None, :], 0, 63)]
-                    m = m[:, :, None] * jnp.ones((1, 1, OBMC_CW),
-                                                 jnp.int32)
+                    m = jnp.broadcast_to(
+                        om[jnp.clip(hh[:, None] + ih[None, :], 0, 63)]
+                        [:, :, None], (n, BH, BW))
                 else:
                     hb = hh
                     wb = (ww * 3) >> 2
-                    m = om[jnp.clip(ww[:, None] + iw[None, :], 0, 63)]
-                    m = m[:, None, :] * jnp.ones((1, OBMC_CH, 1),
-                                                 jnp.int32)
+                    m = jnp.broadcast_to(
+                        om[jnp.clip(ww[:, None] + iw[None, :], 0, 63)]
+                        [:, None, :], (n, BH, BW))
                 drows = jnp.where(ih[None, :] < hb[:, None],
                                   py[:, None] + ih, OOB)
                 dcols = jnp.where(iw[None, :] < wb[:, None],
                                   px[:, None] + iw, OOB)
-                dst = read(carry, pl, drows, dcols)
+                dst = cur_gather(carry, pl, py, px, BH, BW)
                 out = (dst * (64 - m) + lap * m + 32) >> 6
                 return scatter(carry, pl, drows, dcols, out)
             return body
@@ -651,7 +702,7 @@ def _mc_program(phase, n_planes, Hy, Wy, Hc, Wc, R, bd, ss_hor, ss_ver,
                                   py[:, None] + i4)
                 dcols = jnp.where(px[:, None] >= OOB, OOB,
                                   px[:, None] + i4)
-                cur = read(carry, pl, drows, dcols)
+                cur = cur_gather(carry, pl, py, px, 4, 4)
                 out = jnp.clip(cur + resv, 0, px_max)
                 return scatter(carry, pl, drows, dcols, out)
             return body
@@ -711,7 +762,7 @@ def _mc_program(phase, n_planes, Hy, Wy, Hc, Wc, R, bd, ss_hor, ss_ver,
                               jnp.arange(h_px, dtype=jnp.int32))
             dcols = jnp.where(px[:, None] >= OOB, OOB, px[:, None] +
                               jnp.arange(w_px, dtype=jnp.int32))
-            cur = read(carry, pl, drows, dcols)
+            cur = cur_gather(carry, pl, py, px, h_px, w_px)
             out = jnp.clip(cur + resv, 0, px_max)
             return scatter(carry, pl, drows, dcols, out)
         return body

@@ -477,8 +477,16 @@ class _Builder:
 
 def build(recon, leftovers):
     """Build a device plan for the frame's leftover blocks, or None if
-    any block needs the host replay (then inter_device falls back)."""
-    if os.environ.get("DAV1D_TPU_LO", "device") != "device":
+    any block needs the host replay (then inter_device falls back).
+
+    Default is OFF (host replay): measured round 5 on the tunnel v5e,
+    this path's per-level launch storm (hundreds of small programs per
+    frame) decodes the 1080p realistic stream at 0.13 fps vs 1.02 fps
+    for the native host replay + region round trip. Re-enable with
+    DAV1D_TPU_LO=device; the fused-program leftover design
+    (ops/mc_fused.py's launch model applied to the level schedule) is
+    the intended replacement."""
+    if os.environ.get("DAV1D_TPU_LO", "host") != "device":
         return None
     plan = recon.plan
     if not plan.native_tiles:
