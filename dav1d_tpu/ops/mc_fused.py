@@ -168,6 +168,37 @@ def segments(n_planes):
     return tuple(segs)
 
 
+# dense per-class wedge mask LUTs: every (layout, bs, sign, idx) combo
+# expanded to the class square at build time, so the kernel gathers one
+# whole (c, c) block per job (the fast trailing-dims pattern) instead
+# of per-element blob reads. Wedge masks exist only for blocks up to
+# 32x32 (reference wedge.h:39 offsets run BS_32X32..BS_8X8), so only
+# classes 16 and 32 carry a LUT.
+@lru_cache(maxsize=None)
+def _wedge_lut(c):
+    from .mc_ref import wedge_mask
+    from ..entropy import levels as _lv
+    out = np.zeros((3 * 11 * 32, c, c), np.int8)
+    for clidx in range(3):
+        ss_hor = 1 if clidx else 0
+        ss_ver = 1 if clidx == 2 else 0
+        for bsrel in range(11):
+            dims = _lv.block_dimensions[BS_32X32 + bsrel]
+            w = (int(dims[0]) * 4) >> ss_hor
+            h = (int(dims[1]) * 4) >> ss_ver
+            if w > c or h > c:
+                continue
+            for sidx in range(32):
+                try:
+                    m = wedge_mask(clidx, BS_32X32 + bsrel, sidx >> 4,
+                                   sidx & 15, w, h)
+                except Exception:
+                    continue
+                key = (clidx * 11 + bsrel) * 32 + sidx
+                out[key, :h, :w] = m
+    return out
+
+
 # txtp -> (row_kind_index, col_kind_index) per tx, in res_tx_kinds order
 @lru_cache(maxsize=None)
 def _txtp_kidx_map():
@@ -247,6 +278,9 @@ def pack(jobs, lut, bases, n_planes):
         comp[:, 18] = lut[comp[:, 18]]
         comp[:, 24] = lut[comp[:, 24]]
         cls = _size_cls(comp[:, 1], comp[:, 2])
+        if np.any((comp[:, 8] == 1) & (cls > 32)):
+            return None      # wedge beyond the LUT classes: impossible
+                             # by spec (32x32 max), fall back if seen
         for g, msk in (("y", comp[:, 0] == 0), ("c", comp[:, 0] > 0)):
             sub = comp[msk]
             if not len(sub):
@@ -339,14 +373,11 @@ _CONSTS = None
 def _dev_consts(jnp):
     global _CONSTS
     if _CONSTS is None:
-        blob, off = _masks()
-        # pad the blob so clipped gathers of padding lanes stay in range
-        blob = np.concatenate([blob, np.zeros(64 * 64, np.uint8)])
         _CONSTS = (jnp.asarray(np.asarray(filter_banks())),
                    jnp.asarray(_warp_filter()),
                    jnp.asarray(obmc_masks()),
-                   jnp.asarray(blob.astype(np.int32)),
-                   jnp.asarray(off.astype(np.int32)))
+                   jnp.asarray(_wedge_lut(16)),
+                   jnp.asarray(_wedge_lut(32)))
     return _CONSTS
 
 
@@ -366,7 +397,7 @@ def _mc_program(phase, n_planes, Hy, Wy, Hc, Wc, R, bd, ss_hor, ss_ver,
     px_max = (1 << bd) - 1
 
     def make_body(sd, consts, REFY, REFC, pool, SPdims):
-        fb, wf, om, wblob, woff = consts
+        fb, wf, om, wl16, wl32 = consts
         is_c = sd["grp"] == "c"
         rh, rw = (rh_c, rw_c) if is_c else (rh_y, rw_y)
         REF4 = REFC if is_c else REFY
@@ -397,7 +428,7 @@ def _mc_program(phase, n_planes, Hy, Wy, Hc, Wc, R, bd, ss_hor, ss_ver,
                 bit = ((b >> k) & 1).astype(jnp.bool_)
                 g = jnp.where(bit[:, None],
                               jnp.roll(g, -(1 << k), axis=1), g)
-            return g[:, :count]
+            return g[:, :count].astype(jnp.int32)
 
         def cur_gather(carry, pl, py, px, win_h, win_w):
             """Block-gather a window of the CURRENT (carry) plane for
@@ -628,19 +659,22 @@ def _mc_program(phase, n_planes, Hy, Wy, Hc, Wc, R, bd, ss_hor, ss_ver,
                 m_seg = jnp.minimum(
                     38 + ((jnp.abs(tdiff) + mask_rnd) >> mask_sh), 64)
                 drows, dcols = _dst_ids(jnp, py, px, h, w, Cc, Cc)
-                # wedge masks: in-jit gather from the blob
-                # (reference wedge.h:88-91: offsets in 8-byte units)
-                woff_j = woff[jnp.clip(clidx, 0, 2),
-                              jnp.clip(mbs - BS_32X32, 0, 10),
-                              jnp.clip(msign * 16 + widx, 0, 35)] * 8
-                iy = jnp.arange(Cc, dtype=jnp.int32)
-                ix = jnp.arange(Cc, dtype=jnp.int32)
-                widx2 = woff_j[:, None, None] + \
-                    iy[None, :, None] * w[:, None, None] + \
-                    ix[None, None, :]
-                m_wedge = wblob[jnp.clip(widx2, 0, wblob.shape[0] - 1)]
-                m_ext = jnp.where((mkind == 1)[:, None, None],
-                                  m_wedge, 0)
+                # wedge masks: whole-square gather from the dense
+                # per-class LUT (one (c, c) block per job — the fast
+                # trailing-dims pattern); wedge masks exist only for
+                # blocks up to 32x32 (reference wedge.h:39), so bigger
+                # classes carry none (pack() guarantees it)
+                if Cc <= 32:
+                    wlut = wl16 if Cc == 16 else wl32
+                    wkey = (jnp.clip(clidx, 0, 2) * 11 +
+                            jnp.clip(mbs - BS_32X32, 0, 10)) * 32 + \
+                        jnp.clip(msign * 16 + widx, 0, 31)
+                    m_wedge = wlut[jnp.clip(wkey, 0,
+                                            wlut.shape[0] - 1)]
+                    m_ext = jnp.where((mkind == 1)[:, None, None],
+                                      m_wedge.astype(jnp.int32), 0)
+                else:
+                    m_ext = jnp.zeros((n, Cc, Cc), jnp.int32)
                 if is_c:
                     SP = carry[2]
                     sp = SP[jnp.clip(drows, 0, SPh - 1)[:, :, None],
@@ -908,10 +942,16 @@ def execute(recon, jobs) -> bool:
                 return False
             meta, buf = packed
         with timing.phase("inter.fused_exec"):
-            pool = jnp.asarray(pool_np)
-            recon._cf_pool_dev, recon._cf_bases = pool, bases
+            # 8-bit coefficients fit int16 (the reference's 8bpc coef
+            # type): halves the biggest per-frame upload
+            if recon.bitdepth == 8:
+                pool = jnp.asarray(pool_np.astype(np.int16))
+                recon._cf_pool_dev = None   # leftover path wants int32
+            else:
+                pool = jnp.asarray(pool_np)
+                recon._cf_pool_dev = pool
+            recon._cf_bases = bases
             consts = _dev_consts(jnp)
-            wblob, woff = consts[3], consts[4]
             Hy, Wy = recon.pic.planes[0].shape
             Hc, Wc = recon.pic.planes[-1].shape
             rh_y, rw_y = recon._ref_bounds(0)
@@ -931,7 +971,7 @@ def execute(recon, jobs) -> bool:
                 buf_d = jnp.asarray(buf)
                 meta_d = jnp.asarray(meta)
                 _sync((buf_d, meta_d, pool, REFY, REFC))
-            cargs = consts[:3] + (wblob, woff)
+            cargs = consts
             with timing.phase("inter.fused_mc"):
                 Y, C = _mc_program("mc", *key)(REFY, REFC, buf_d, pool,
                                                meta_d, *cargs)
