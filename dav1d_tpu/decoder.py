@@ -78,13 +78,17 @@ class ObuStreamDecoder:
         if do_recon and self.n_threads > 1:
             from .parallel.executor import ReconPipeline
             from .ops.backend import device_enabled
-            # Stage-B depth: 2 frames in flight on the device backend
-            # (output fetch of frame N rides under compute of N+1);
-            # the golden numpy backend keeps the single in-order
-            # worker (its ref-plane fetches mutate shared host state).
+            # Stage-B depth: 3 frames in flight on the device backend
+            # (output fetch of frame N rides under compute of N+1/N+2;
+            # measured round 5 on the tunnel v5e at 1080p: depth 1 =
+            # 1.16 fps, 2 = 2.28, 3 = 2.54, 4 = 2.02 — the fused
+            # Stage-B programs leave the pipeline transfer-bound, and
+            # depth 3 covers both in-flight transfers); the golden
+            # numpy backend keeps the single in-order worker (its
+            # ref-plane fetches mutate shared host state).
             # Settings.max_frame_delay caps it like the reference's
             # n_fc derivation (lib.c:109-126).
-            depth = 2 if device_enabled() else 1
+            depth = 3 if device_enabled() else 1
             mfd = self.settings.max_frame_delay
             if mfd and mfd > 0:
                 depth = max(1, min(depth, mfd))

@@ -103,7 +103,7 @@ def _scatter_ids(jnp, dst, oy, ox, ohs, ows, hmax, wmax):
 
 
 @lru_cache(maxsize=None)
-def _wiener_fn(n, hmax, wmax, bd):
+def _wiener_fn(n, hmax, wmax, bd, tbl_cols=False):
     """Jitted batched Wiener pass, fused end to end: stacks [cur; pre],
     gathers the padded sources, filters, and scatters the results back
     into the live plane — ONE launch per (shape, kind). Inputs:
@@ -119,9 +119,12 @@ def _wiener_fn(n, hmax, wmax, bd):
     round_bits_v = 11 - (bd == 12) * 2
     round_offset = 1 << (bd + round_bits_v - 1)
 
-    def fn(src, pre, dst, rowt, colbase, fhc, fvc, oy, ox, ohs, ows):
+    def fn(src, pre, dst, rowt, cols, fhc, fvc, oy, ox, ohs, ows):
         CP = jnp.concatenate([src, pre], axis=0)
-        S = _block_window(jnp, CP, rowt, colbase, wmax + 6)
+        if tbl_cols:        # sharded path: shard-local per-item tables
+            S = CP[rowt[:, :, None], cols[:, None, :]]
+        else:
+            S = _block_window(jnp, CP, rowt, cols, wmax + 6)
         hsum = jnp.full((n, hmax + 6, wmax), 1 << (bd + 6), jnp.int32)
         for i in range(7):
             hsum = hsum + fhc[:, i, None, None] * S[:, :, i:i + wmax]
@@ -140,7 +143,7 @@ def _wiener_fn(n, hmax, wmax, bd):
 
 
 @lru_cache(maxsize=None)
-def _sgr_fn(n, hmax, wmax, bd):
+def _sgr_fn(n, hmax, wmax, bd, tbl_cols=False):
     """Jitted batched self-guided restoration. The padded source S is
     pre-clamped by the host row table (rows -3..hmax+2 follow the
     reference's [-2, h+1] clamp), so box sums use direct shifts.
@@ -171,13 +174,17 @@ def _sgr_fn(n, hmax, wmax, bd):
             ssq = ssq + sl * sl
         return ssq, ssum
 
-    def fn(src, pre, dst, rowt, colbase, s0, s1, w0, w1, oy, ox, ohs,
+    def fn(src, pre, dst, rowt, cols, s0, s1, w0, w1, oy, ox, ohs,
            ows):
         # rowt rows 0..hmax+5 map padded rows -3..hmax+2 with the
         # reference clamp baked in, so R(r) = 3 + r indexes directly
         CP = jnp.concatenate([src, pre], axis=0)
-        S = _block_window(jnp, CP, rowt, colbase,
-                          wmax + 6).astype(jnp.int64)
+        if tbl_cols:        # sharded path: shard-local per-item tables
+            S = CP[rowt[:, :, None],
+                   cols[:, None, :]].astype(jnp.int64)
+        else:
+            S = _block_window(jnp, CP, rowt, cols,
+                              wmax + 6).astype(jnp.int64)
         src_px = S[:, 3:3 + hmax, PAD:PAD + wmax]
 
         # ---- box3: A/B at rows r = -1..hmax (stacked) ----

@@ -18,10 +18,14 @@ Decode parallelism for AV1 maps onto a ('gop', 'tile') device mesh:
 The parameter maps (per-edge filter class/strength) are replicated —
 they are 1/16th of plane bytes; sharding them is follow-up work.
 
-`sharded_decode_md5` decodes a real stream with the deblock stage
-routed through the sharded implementation and returns the output md5,
-which must equal the single-device decode md5 (asserted by
-__graft_entry__.dryrun_multichip and tests/test_multichip.py).
+`sharded_decode_md5` decodes a real stream with the WHOLE Stage-B
+pipeline sharded (recon/sharded_stageb.py: MC passes A-D on
+apron-extended shards, deblock/CDEF/LR with ppermute halos, super-res
+via all-gather) and returns the output md5, which must equal the
+single-device decode md5 (asserted by
+__graft_entry__.dryrun_multichip and tests/test_multichip.py). This
+module keeps the halo/stitch reference formulation and the gop-axis
+psum check those tests also exercise.
 """
 from __future__ import annotations
 
@@ -50,7 +54,7 @@ def _shard_plane_deblock(mesh, plane, vmaps, hmaps, lut_e, lut_i, bd,
     jax = jax_mod()
     jnp = jax.numpy
     from jax import lax
-    from jax.experimental.shard_map import shard_map
+    from ..utils.shmap import shard_map
     from jax.sharding import PartitionSpec as P
     from ..ops.lf import _plane_fn
 
@@ -175,7 +179,7 @@ def itx_sharded_check(plan, bitdepth, mesh):
     psum'd residual energy (exercises ICI collectives on real data)."""
     jax = jax_mod()
     jnp = jax.numpy
-    from jax.experimental.shard_map import shard_map
+    from ..utils.shmap import shard_map
     from jax.sharding import PartitionSpec as P
     from ..entropy import levels as lv
     from ..ops.itx import residual_fn

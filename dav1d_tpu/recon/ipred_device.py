@@ -475,18 +475,23 @@ class _Builder:
         return DevLeftoverPlan(self.levels, self.n_units)
 
 
+# auto mode: frames with more leftover blocks than this replay on the
+# host instead. Measured round 5 on the tunnel v5e at 1080p: the
+# per-level launch storm costs ~0.7ms dispatch per BLOCK, so sparse
+# frames (encoder-shaped streams, ~3% intra) decode fastest on device
+# (no mid-frame region round trip: 1.40 vs 1.04 fps), while
+# intra-heavy frames (3k+ leftovers) collapse to 0.13 fps vs 1.02 for
+# the native host replay.
+AUTO_LIMIT = int(os.environ.get("DAV1D_TPU_LO_LIMIT", "1200"))
+
+
 def build(recon, leftovers):
     """Build a device plan for the frame's leftover blocks, or None if
-    any block needs the host replay (then inter_device falls back).
-
-    Default is OFF (host replay): measured round 5 on the tunnel v5e,
-    this path's per-level launch storm (hundreds of small programs per
-    frame) decodes the 1080p realistic stream at 0.13 fps vs 1.02 fps
-    for the native host replay + region round trip. Re-enable with
-    DAV1D_TPU_LO=device; the fused-program leftover design
-    (ops/mc_fused.py's launch model applied to the level schedule) is
-    the intended replacement."""
-    if os.environ.get("DAV1D_TPU_LO", "host") != "device":
+    any block needs the host replay (then inter_device falls back)."""
+    mode = os.environ.get("DAV1D_TPU_LO", "auto")
+    if mode not in ("device", "auto"):
+        return None
+    if mode == "auto" and len(leftovers) > AUTO_LIMIT:
         return None
     plan = recon.plan
     if not plan.native_tiles:

@@ -156,7 +156,7 @@ def _mc_plane_program(mesh, sig, Hp, sw, apron, bd, rh, rw, ss_hor,
     executed in order on the apron-extended local plane."""
     jax = jax_mod()
     jnp = jax.numpy
-    from jax.experimental.shard_map import shard_map
+    from ..utils.shmap import shard_map
     from jax.sharding import PartitionSpec as P
 
     def shard_fn(REF, pool, tables, msks, segplane, plane_shard):
@@ -203,8 +203,7 @@ def _mc_plane_program(mesh, sig, Hp, sw, apron, bd, rh, rw, ss_hor,
         shard_fn, mesh=mesh,
         in_specs=(P(), P(), P("tile"), P("tile"), P(None, "tile"),
                   P(None, "tile")),
-        out_specs=(P(None, "tile"), P(None, "tile")),
-        check_rep=False)
+        out_specs=(P(None, "tile"), P(None, "tile")))
     return jax.jit(body)
 
 
@@ -428,7 +427,7 @@ def _deblock_sharded_fn(mesh, Hp, sw, bd, luma):
     jax = jax_mod()
     jnp = jax.numpy
     from jax import lax
-    from jax.experimental.shard_map import shard_map
+    from ..utils.shmap import shard_map
     from jax.sharding import PartitionSpec as P
     from ..ops.lf import _plane_fn
 
@@ -461,7 +460,7 @@ def _deblock_sharded_fn(mesh, Hp, sw, bd, luma):
 
     specs = (P(None, "tile"),) + (P(None, None),) * 4 + (P(None),) * 2
     fn = shard_map(shard_fn, mesh=mesh, in_specs=specs,
-                   out_specs=P(None, "tile"), check_rep=False)
+                   out_specs=P(None, "tile"))
     return jax.jit(fn)
 
 
@@ -540,7 +539,7 @@ def _cdef_sharded_fn(mesh, Hp, sw, layout, bd, damping, has_chroma,
     jax = jax_mod()
     jnp = jax.numpy
     from jax import lax
-    from jax.experimental.shard_map import shard_map
+    from ..utils.shmap import shard_map
     from jax.sharding import PartitionSpec as P
     from ..ops.cdef import _proj_matrix, _ulog2_capped, _DIV_TABLE
     from ..ops.cdef_ref import cdef_dirs, FILL, UV_DIRS
@@ -715,7 +714,7 @@ def _cdef_sharded_fn(mesh, Hp, sw, layout, bd, damping, has_chroma,
         (P(None, None),) * 6
     fn = shard_map(shard_fn, mesh=mesh, in_specs=specs_in,
                    out_specs=(P(None, "tile"), P(None, "tile"),
-                              P(None, "tile")), check_rep=False)
+                              P(None, "tile")))
     return jax.jit(fn)
 
 
@@ -754,13 +753,14 @@ def _lr_sharded_fn(mesh, kind, nb, hmax, wmax, bd, sw):
     jax = jax_mod()
     jnp = jax.numpy
     from jax import lax
-    from jax.experimental.shard_map import shard_map
+    from ..utils.shmap import shard_map
     from jax.sharding import PartitionSpec as P
     from ..ops.lr import _wiener_fn, _sgr_fn
 
     T = mesh.shape["tile"]
-    inner = _wiener_fn(nb, hmax, wmax, bd) if kind == "wiener" else \
-        _sgr_fn(nb, hmax, wmax, bd)
+    inner = _wiener_fn(nb, hmax, wmax, bd, tbl_cols=True) \
+        if kind == "wiener" else _sgr_fn(nb, hmax, wmax, bd,
+                                         tbl_cols=True)
 
     def shard_fn(cur, resin, pre, rowt, colt, p0, p1, p2, p3, oy, ox,
                  ohs, ows):
@@ -780,7 +780,7 @@ def _lr_sharded_fn(mesh, kind, nb, hmax, wmax, bd, sw):
 
     specs_in = (P(None, "tile"),) * 3 + (P("tile"),) * 10
     fn = shard_map(shard_fn, mesh=mesh, in_specs=specs_in,
-                   out_specs=P(None, "tile"), check_rep=False)
+                   out_specs=P(None, "tile"))
     return jax.jit(fn)
 
 
