@@ -28,9 +28,10 @@ the bench before a single line printed, rc=124):
   - the primary 1080p line prints last (the driver records the last
     line), the 4K line as soon as it is known.
 
-Throughput is honest wall clock: after a 3-frame warm-up pass (which
-touches the whole compiled-program set — batch shapes are closed
-buckets), the timed pass decodes the full stream and reports
+Throughput is honest wall clock: after a full-stream warm-up pass
+(which touches the whole compiled-program set, including late-stream
+buffer-ladder variants), the timed pass decodes the full stream and
+reports
 n_pictures / total_wall including the first picture. Partial results
 (child killed on inactivity/budget) need >=2 timed pictures, else >=1
 warm picture, and are flagged "partial". Every JSON line carries the
@@ -60,7 +61,7 @@ CONFIGS = [
     # remain in bench_streams/ for the slow e2e tier.
     dict(metric="decode_3840x2160_10b_fps",
          stream="bench_streams/3840x2160_10b_flt_s33_enc.ivf",
-         budget_frac=0.62),
+         budget_frac=0.68),
     dict(metric="decode_1920x1080_fps",
          stream="bench_streams/1920x1080_8b_flt_s31_enc.ivf",
          budget_frac=1.0),
@@ -94,10 +95,11 @@ def decode(tag, fs):
                   flush=True)
     return len(times), times[-1] if times else 0.0
 
-# warm-up on a stream prefix: key + 2 inter frames touch the whole
-# program set (batch shapes are closed buckets, so later frames hit
-# the same compiled programs)
-decode('warm', frames[:3])
+# warm-up decodes the FULL stream once: program/buffer-ladder variants
+# can first appear on any frame, and a fresh process pays a
+# persistent-cache load (or remote compile) per variant — the timed
+# pass must only measure steady-state decode
+decode('warm', frames)
 n, dt = decode('timed', frames)   # honest full-stream wall clock
 fps = n / dt if n and dt > 0 else 0.0
 print('BENCH_RESULT ' + json.dumps({'n': n, 'fps': fps}), flush=True)
@@ -245,9 +247,12 @@ def _bench_config(cfg, deadline, probe):
 
     if probe.wait(0) is True:
         # tunnel alive: device first, leave fallback room (a slow-but-
-        # alive device run still yields a partial from its PIC lines)
+        # alive device run still yields a partial from its PIC lines).
+        # 85%: the warm pass legitimately spends minutes loading the
+        # persistent-cache executables through the tunnel at 4K, and a
+        # killed device run still yields a warm-pass partial
         dev_deadline = min(deadline,
-                           time.time() + 0.65 * (deadline - time.time()))
+                           time.time() + 0.85 * (deadline - time.time()))
         res = tag(_run_watched(script, dict(os.environ), dev_deadline),
                   "device")
         if res is not None:

@@ -236,11 +236,13 @@ def _size_cls(h, w):
                     np.where(m <= 32, 32, np.where(m > 64, 128, 64)))
 
 
-def pack(jobs, lut, bases, n_planes):
+def pack(jobs, lut, bases, n_planes, buf_floor=1 << 14):
     """Group the frame's job tables into the static segment schedule and
     concatenate them into (meta, flat_buf). Returns None if a job
     exceeds a kernel's static caps (caller falls back to the per-group
-    launch path)."""
+    launch path). `buf_floor` pins a resolution-derived minimum length
+    so nearly every frame of a stream shares ONE compiled program pair
+    (ladder steps above the floor are rare dense frames)."""
     segs = segments(n_planes)
     tbls = {}
 
@@ -357,7 +359,8 @@ def pack(jobs, lut, bases, n_planes):
         buf = np.zeros(16, np.int32)
     # floor covers the largest single chunk slice (dynamic_slice needs
     # slice_sizes <= operand shape even for zero-trip segments)
-    n = 1 << max(14, int(len(buf) - 1).bit_length())
+    n = 1 << max(14, (buf_floor - 1).bit_length(),
+                 int(len(buf) - 1).bit_length())
     if n != len(buf):
         buf = np.concatenate([buf, np.zeros(n - len(buf), np.int32)])
     return meta, buf
@@ -937,7 +940,12 @@ def execute(recon, jobs) -> bool:
         with timing.phase("inter.fused_pack"):
             REFY, REFC, lut = _build_refstacks_joint(recon, jnp)
             pool_np, bases = recon._build_cf_pool()
-            packed = pack(jobs, lut, bases, n_planes)
+            # resolution-derived floors keep the compiled-program pair
+            # unique per stream (a frame-varying pow2 ladder forced a
+            # program-cache load per frame in fresh processes)
+            px_count = recon.pic.planes[0].size
+            packed = pack(jobs, lut, bases, n_planes,
+                          buf_floor=px_count // 4)
             if packed is None:
                 return False
             meta, buf = packed
