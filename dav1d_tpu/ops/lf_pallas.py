@@ -57,6 +57,14 @@ def _round_up(x, m):
 
 
 def _interpret() -> bool:
+    # the pinned dispatch device decides: the axon plugin registers
+    # itself as "tpu" even when JAX_PLATFORMS/DAV1D_TPU_DEVICE pin the
+    # suite to cpu, and a non-interpret pallas_call then hits the
+    # remote Mosaic service from a CPU-only test run
+    from .backend import default_device
+    dev = default_device()
+    if dev is not None:
+        return dev.platform != "tpu"
     jax = jax_mod()
     return jax.default_backend() != "tpu" and \
         os.environ.get("DAV1D_TPU_DEVICE", "") != "tpu"
