@@ -460,10 +460,18 @@ def _mc_program(phase, n_planes, Hy, Wy, Hc, Wc, R, bd, ss_hor, ss_ver,
                 g = P4[rows[:, :, None], blks[:, None, :]]
             n = py.shape[0]
             g = g.reshape(n, win_h, nblk * BS)
-            for k in range(6):
-                bit = ((rr >> k) & 1).astype(jnp.bool_)
-                g = jnp.where(bit[:, None, None],
-                              jnp.roll(g, -(1 << k), axis=1), g)
+            # 7 column-shift steps: a job whose VALID region is
+            # narrower than the class window can sit past W - win_w
+            # (e.g. an OBMC blend cap at the right edge), where the
+            # clamped base leaves b up to 32*nblk - 1 > 63; the valid
+            # lanes still satisfy b + j < 32*nblk, so the wider shift
+            # reaches them (found via a 24px chroma OBMC divergence on
+            # the multichip dryrun stream)
+            for k in range(7):
+                if k < 6:
+                    bit = ((rr >> k) & 1).astype(jnp.bool_)
+                    g = jnp.where(bit[:, None, None],
+                                  jnp.roll(g, -(1 << k), axis=1), g)
                 bitc = ((b >> k) & 1).astype(jnp.bool_)
                 g = jnp.where(bitc[:, None, None],
                               jnp.roll(g, -(1 << k), axis=2), g)
