@@ -71,6 +71,16 @@ CONFIGS = [
          lf_levels=(28, 28, 16, 16),
          cdef_params=(2, 1, [9, 25], [5, 13]), lr_types=(1, 2, 2),
          **PYR),
+    # regression: an OBMC blend whose padded class window starts past
+    # W - win_w (right-edge chroma, 256-wide frame) needs the 7-bit
+    # column shift in cur_gather — the 6-bit version read 64 columns
+    # left of the job (24 divergent chroma px on this stream shape)
+    dict(name="obmc-right-edge", w=256, h=128, n_frames=4, seed=5,
+         tile_log2_cols=1, tile_log2_rows=1, warped_motion=1,
+         switchable_motion_mode=1, jnt_comp=1, inter_intra=1,
+         masked_compound=1, allow_skip_mode=1,
+         lf_levels=(32, 32, 20, 20),
+         cdef_params=(2, 1, [9, 25], [5, 13]), lr_types=(1, 2, 2)),
 ]
 
 IDS = [c["name"] for c in CONFIGS]
