@@ -663,7 +663,9 @@ class ObuStreamDecoder:
         mesh = self.settings.sharding_mesh
         if key_or_intra and not fh.allow_intrabc:
             from .recon.intra_ref import reconstruct_intra_frame
-            pic = reconstruct_intra_frame(plan)
+            from .utils import timing
+            with timing.phase("intra.frame_recon"):
+                pic = reconstruct_intra_frame(plan)
         elif not key_or_intra and device_enabled():
             if mesh is not None:
                 from .recon.sharded_stageb import \

@@ -93,6 +93,12 @@ CONFIGS = [
          segmentation=[dict(delta_q=-20), dict(delta_q=30),
                        dict(delta_lf_u=-8), dict(delta_q=50)],
          **FILTERS),
+    # 8K multi-tile + super-res + warp: the BASELINE config-5 stream
+    # class (reference's largest profile point), decoded once vs oracle
+    dict(name="8k-tiles-superres-warp", w=7680, h=4320, n_frames=2,
+         seed=112, tile_log2_cols=2, tile_log2_rows=1,
+         superres_denom=12, warped_motion=1, switchable_motion_mode=1,
+         qidx=140, lf_levels=(28, 28, 16, 16), lr_types=(1, 1, 1)),
 ]
 
 IDS = [c["name"] for c in CONFIGS]
