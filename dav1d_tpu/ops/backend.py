@@ -96,6 +96,68 @@ def fetch_all(arrs):
     return [np.asarray(a) for a in arrs]
 
 
+def pack_fetch_enabled(bpc: int) -> bool:
+    """HBD output planes cross the tunnel bit-packed (10-bit: low byte
+    + four 2-bit highs per byte = 1.25 B/px; 12-bit: low byte + two
+    4-bit highs per byte = 1.5 B/px) instead of as uint16 — the output
+    download is the single largest per-frame transfer at 4K 10-bit
+    (~25 MB -> ~15.6 MB on a ~30-65 MB/s link). Plane widths are
+    128-aligned (picture.py plane_shapes) so the 4/2 grouping is exact.
+    DAV1D_TPU_PACK_FETCH=0 restores plain uint16 downloads."""
+    return bpc > 8 and os.environ.get("DAV1D_TPU_PACK_FETCH", "1") != "0"
+
+
+def queue_plane_fetch(planes_dev, host_planes, bpc, jnp):
+    """Cast/pack device int planes for download and queue the async
+    device->host copies. Returns the pending_fetch payload: one entry
+    per plane — either a device array in the host dtype, or a tuple
+    ("p10"|"p12", lo_u8, hi_u8) for packed HBD planes."""
+    pending = []
+    packed = pack_fetch_enabled(bpc)
+    for hp, pl in zip(host_planes, planes_dev):
+        if not packed:
+            pending.append(pl.astype(hp.dtype))
+            continue
+        lo = (pl & 0xFF).astype(jnp.uint8)
+        hi = (pl >> 8).astype(jnp.uint8)
+        H, W = hp.shape
+        if bpc == 10:
+            h = hi.reshape(H, W // 4, 4)
+            hi = (h[..., 0] | (h[..., 1] << 2) | (h[..., 2] << 4)
+                  | (h[..., 3] << 6))
+            pending.append(("p10", lo, hi))
+        else:
+            h = hi.reshape(H, W // 2, 2)
+            hi = h[..., 0] | (h[..., 1] << 4)
+            pending.append(("p12", lo, hi))
+    for ent in pending:
+        arrs = ent[1:] if isinstance(ent, tuple) else (ent,)
+        for a in arrs:
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+    return pending
+
+
+def _materialize_fetch(hp, ent):
+    import numpy as np
+    if not isinstance(ent, tuple):
+        hp[:] = np.asarray(ent)
+        return
+    mode, lo, hi = ent
+    lo = np.asarray(lo).astype(np.uint16)
+    hi = np.asarray(hi)
+    H, W = hp.shape
+    if mode == "p10":
+        bits = ((hi[:, :, None] >> np.array([0, 2, 4, 6], np.uint8))
+                & 3).astype(np.uint16)
+    else:
+        bits = ((hi[:, :, None] >> np.array([0, 4], np.uint8))
+                & 15).astype(np.uint16)
+    hp[:] = lo | (bits.reshape(H, W) << 8)
+
+
 def fetch_pic_host(pic):
     """Materialize a device-resident picture back into its host planes.
     Prefers the in-flight async transfer (Picture.pending_fetch, queued
@@ -103,18 +165,18 @@ def fetch_pic_host(pic):
     cast+download of Picture.dev."""
     pending = getattr(pic, "pending_fetch", None)
     if pending is not None:
-        import numpy as np
-        for hp, a in zip(pic.planes, pending):
-            hp[:] = np.asarray(a)
+        for hp, ent in zip(pic.planes, pending):
+            _materialize_fetch(hp, ent)
         pic.pending_fetch = None
         pic.host_stale = False
         return
     if getattr(pic, "dev", None) is None or not pic.host_stale:
         pic.host_stale = False
         return
-    casts = [d.astype(hp.dtype) for hp, d in zip(pic.planes, pic.dev)]
-    for hp, a in zip(pic.planes, fetch_all(casts)):
-        hp[:] = a
+    jnp = jax_mod().numpy
+    pending = queue_plane_fetch(pic.dev, pic.planes, pic.bpc, jnp)
+    for hp, ent in zip(pic.planes, pending):
+        _materialize_fetch(hp, ent)
     pic.host_stale = False
 
 

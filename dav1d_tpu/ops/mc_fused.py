@@ -358,12 +358,13 @@ def pack(jobs, lut, bases, n_planes, buf_floor=1 << 14):
     else:
         buf = np.zeros(16, np.int32)
     # floor covers the largest single chunk slice (dynamic_slice needs
-    # slice_sizes <= operand shape even for zero-trip segments)
+    # slice_sizes <= operand shape even for zero-trip segments).
+    # Returns the UNPADDED buffer + the ladder total: the zero tail is
+    # materialized on device (_dev_pad) so only used bytes cross the
+    # tunnel (at 4K the floor alone is ~8.3 MB/frame of int32)
     n = 1 << max(14, (buf_floor - 1).bit_length(),
                  int(len(buf) - 1).bit_length())
-    if n != len(buf):
-        buf = np.concatenate([buf, np.zeros(n - len(buf), np.int32)])
-    return meta, buf
+    return meta, buf, n
 
 
 # ---------------------------------------------------------------------------
@@ -937,6 +938,36 @@ def _build_refstacks_joint(recon, jnp):
     return REFY, REFC, lut
 
 
+# upload-length granularity: rounding used prefixes to 64Ki elements
+# keeps the per-length eager pad/join program set small (<= total/gran
+# variants) while the zero ladder tail never crosses the tunnel
+_PAD_GRAN = 1 << 16
+
+
+def _host_round(arr, total, gran=_PAD_GRAN):
+    """Zero-pad `arr` up to the next `gran` multiple (capped at
+    `total`) on host, so upload shapes come from a small ladder."""
+    up = min(total, -(-max(len(arr), 1) // gran) * gran)
+    if up > len(arr):
+        arr = np.concatenate([arr, np.zeros(up - len(arr), arr.dtype)])
+    return arr
+
+
+def _dev_zpad(d, total, jnp):
+    """Zero-extend a device array to `total` elements on device."""
+    if d.shape[0] < total:
+        d = jnp.concatenate([d, jnp.zeros(total - d.shape[0], d.dtype)])
+    return d
+
+
+def _dev_pad(arr_np, total, jnp, gran=_PAD_GRAN):
+    """Upload only the used prefix (gran-rounded) and zero-pad to
+    `total` on device: the program operand keeps the ladder length
+    while the tunnel carries just the used bytes."""
+    return _dev_zpad(jnp.asarray(_host_round(arr_np, total, gran)),
+                     total, jnp)
+
+
 def execute(recon, jobs) -> bool:
     """Run the frame's MC passes as one fused program. Returns False if
     a static cap is exceeded (caller uses the per-group path)."""
@@ -956,15 +987,35 @@ def execute(recon, jobs) -> bool:
                           buf_floor=px_count // 4)
             if packed is None:
                 return False
-            meta, buf = packed
+            meta, buf, buf_n = packed
+            # only the used coefficient prefix crosses the tunnel; the
+            # pow2-ladder tail is zeros materialized on device
+            cf_used = min(len(pool_np), 64 * 64 + sum(
+                int(t.get("cf_used", len(t["cf_pool"])))
+                for t in recon.plan.native_tiles))
+            pool_used = pool_np[:cf_used]
         with timing.phase("inter.fused_exec"):
             # 8-bit coefficients fit int16 (the reference's 8bpc coef
             # type): halves the biggest per-frame upload
             if recon.bitdepth == 8:
-                pool = jnp.asarray(pool_np.astype(np.int16))
-                recon._cf_pool_dev = None   # leftover path wants int32
+                pool = _dev_pad(pool_used.astype(np.int16),
+                                len(pool_np), jnp)
+                # leftover path wants int32: widen on device (free vs
+                # the full int32 re-upload it previously paid)
+                recon._cf_pool_dev = pool.astype(jnp.int32)
             else:
-                pool = jnp.asarray(pool_np)
+                # HBD dequantized coefs are clamped to +-((1<<19)-1)
+                # (cf_max, entropy/decode.py:1586-1588), so the top
+                # int32 half always fits int8: ship uint16 lo + int8
+                # hi (3 B/coef vs 4) and rejoin on device — eager ops,
+                # so the fused programs' int32 pool operand (and their
+                # compile cache) is untouched
+                pool_used = _host_round(pool_used, len(pool_np))
+                lo = jnp.asarray((pool_used & 0xFFFF).astype(np.uint16))
+                hi = jnp.asarray((pool_used >> 16).astype(np.int8))
+                joined = (hi.astype(jnp.int32) << 16) | lo.astype(
+                    jnp.int32)
+                pool = _dev_zpad(joined, len(pool_np), jnp)
                 recon._cf_pool_dev = pool
             recon._cf_bases = bases
             consts = _dev_consts(jnp)
@@ -974,17 +1025,17 @@ def execute(recon, jobs) -> bool:
             rh_c, rw_c = recon._ref_bounds(1)
             key = (n_planes, Hy, Wy, Hc, Wc, int(REFY.shape[0]),
                    recon.bitdepth, f.ss_hor, f.ss_ver, rh_y, rw_y,
-                   rh_c, rw_c, len(buf), len(pool_np))
+                   rh_c, rw_c, buf_n, len(pool_np))
             # the res program touches no reference state: drop those
             # key fields so ref-geometry changes don't recompile it
             res_key = (n_planes, Hy, Wy, Hc, Wc, 1, recon.bitdepth,
-                       0, 0, 0, 0, 0, 0, len(buf), len(pool_np))
+                       0, 0, 0, 0, 0, 0, buf_n, len(pool_np))
             _sync = (jax.block_until_ready
                      if timing.ENABLED and
                      os.environ.get("DAV1D_TPU_TIMING_SYNC") else
                      (lambda x: x))
             with timing.phase("inter.fused_upload"):
-                buf_d = jnp.asarray(buf)
+                buf_d = _dev_pad(buf, buf_n, jnp)
                 meta_d = jnp.asarray(meta)
                 _sync((buf_d, meta_d, pool, REFY, REFC))
             cargs = consts

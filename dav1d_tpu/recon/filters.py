@@ -39,15 +39,10 @@ def run_filter_chain_device(pic, plan, inloop_filters):
     if not (do_deblock or do_cdef or do_sr or do_lr):
         if getattr(pic, "host_stale", False) and \
                 pic.pending_fetch is None and pic.dev is not None:
+            from ..ops.backend import queue_plane_fetch
             with device_scope():
-                casts = [d.astype(hp.dtype)
-                         for hp, d in zip(pic.planes, pic.dev)]
-                for a in casts:
-                    try:
-                        a.copy_to_host_async()
-                    except AttributeError:
-                        pass
-                pic.pending_fetch = casts
+                pic.pending_fetch = queue_plane_fetch(
+                    pic.dev, pic.planes, pic.bpc, jnp)
         return pic
 
     import os as _os
@@ -136,14 +131,9 @@ def run_filter_chain_device(pic, plan, inloop_filters):
         # planes stay attached as the device-resident cache so later
         # frames reference them with zero upload traffic.
         with timing.phase("filters.fetch"):
-            casts = [pl.astype(hp.dtype)
-                     for hp, pl in zip(out_pic.planes, planes)]
-            for a in casts:
-                try:
-                    a.copy_to_host_async()
-                except AttributeError:
-                    pass
-            out_pic.pending_fetch = casts
+            from ..ops.backend import queue_plane_fetch
+            out_pic.pending_fetch = queue_plane_fetch(
+                planes, out_pic.planes, pic.bpc, jnp)
         out_pic.dev = planes
         out_pic.dev_c = None    # pre-filter chroma stack is stale
         out_pic.host_stale = True

@@ -569,8 +569,19 @@ def execute(recon, dplan):
     bases = getattr(recon, "_cf_bases", None)
     with device_scope():
         if pool is None:
+            from ..ops import mc_fused
             pool_np, bases = recon._build_cf_pool()
-            pool = jnp.asarray(pool_np)
+            if bd == 8:
+                # 8-bit coefs fit int16 and only the used prefix needs
+                # to cross the tunnel (mc_fused._dev_pad contract)
+                cf_used = min(len(pool_np), 64 * 64 + sum(
+                    int(t.get("cf_used", len(t["cf_pool"])))
+                    for t in recon.plan.native_tiles))
+                pool = mc_fused._dev_pad(
+                    pool_np[:cf_used].astype(np.int16),
+                    len(pool_np), jnp).astype(jnp.int32)
+            else:
+                pool = jnp.asarray(pool_np)
         half = (1 << bd) >> 1
         consts = np.asarray([half + 1, half - 1, half, 0], np.int32)
         cdev = jnp.asarray(consts)
